@@ -1,0 +1,49 @@
+"""Multi-device tests: the shard_map (dp × tp) step must reproduce the
+single-device step exactly — row updates are disjoint across dp ranks and
+tp only splits a reduction, so parity is numerical, not statistical."""
+
+import jax
+import numpy as np
+import pytest
+
+from force2vec_tpu.dist import ShardedForce2Vec, make_mesh
+from force2vec_tpu.train.trainer import Force2Vec, TrainConfig
+
+DIM = 16
+ITERS = 4
+
+
+def _single_vs_sharded(graph, model, dp, tp, batch_size=16, seed=3):
+    cfg = TrainConfig(dim=DIM, batch_size=batch_size, model=model, ns=4, edge_chunk=64)
+    fv = Force2Vec(graph, cfg)
+    want = fv.train(iters=ITERS, seed=seed)
+
+    mesh = make_mesh(jax.devices()[: dp * tp], dp=dp, tp=tp)
+    sfv = ShardedForce2Vec(Force2Vec(graph, cfg), mesh)
+    got = sfv.train(iters=ITERS, seed=seed)
+    return want, got
+
+
+@pytest.mark.parametrize("dp,tp", [(8, 1), (1, 8), (4, 2), (2, 4)])
+def test_sharded_matches_single_device_tdist(small_graph, dp, tp):
+    want, got = _single_vs_sharded(small_graph, "tdist", dp, tp)
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.parametrize("model", ["sigmoid", "fr"])
+def test_sharded_matches_single_device_other_models(small_graph, model):
+    want, got = _single_vs_sharded(small_graph, model, dp=2, tp=4)
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+def test_sharded_rejects_indivisible(small_graph):
+    cfg = TrainConfig(dim=DIM, batch_size=15, model="tdist", ns=2)
+    fv = Force2Vec(small_graph, cfg)
+    mesh = make_mesh(jax.devices(), dp=4, tp=2)
+    with pytest.raises(ValueError):
+        ShardedForce2Vec(fv, mesh)
+
+
+def test_mesh_helper_shapes():
+    mesh = make_mesh(jax.devices(), dp=4, tp=2)
+    assert mesh.shape["dp"] == 4 and mesh.shape["tp"] == 2
