@@ -1,0 +1,151 @@
+"""Command-line driver with reference flag parity.
+
+Mirrors the reference CLI (Test/Force2Vec.cpp:49-116): ``-input -output
+-batch -iter -threads -dim -nsamples -lr -gamma -bs -option``, same
+defaults (batch 256, iter 1200, dim 128, ns 5, lr 0.02 — Test/
+Force2Vec.cpp:50-53).  ``-option`` keeps the reference numbering
+(models/forces.OPTION_TO_MODEL); ``-threads`` is accepted and ignored
+(thread count is meaningless on TPU), ``-gamma`` is accepted and unused
+exactly like the reference (parsed at Test/Force2Vec.cpp:76, never read by
+kernels).  Additional ``--``-style flags expose what the reference lacks:
+checkpointing, evaluation, sharding.
+
+Run summaries append to ``Results.txt`` with the reference's ledger schema
+(Test/Force2Vec.cpp:191-198).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="force2vec",
+        description="TPU-native Force2Vec: force-directed graph embedding",
+    )
+    # reference-parity flags (single dash, like the C++ driver)
+    p.add_argument("-input", required=True, help=".mtx/.bcsr/edgelist graph")
+    p.add_argument("-output", default="", help="output directory/prefix")
+    p.add_argument("-batch", type=int, default=256)
+    p.add_argument("-iter", type=int, default=1200)
+    p.add_argument("-threads", type=int, default=0, help="ignored on TPU")
+    p.add_argument("-dim", type=int, default=128)
+    p.add_argument("-nsamples", type=int, default=5)
+    p.add_argument("-lr", type=float, default=None)
+    p.add_argument("-gamma", type=float, default=1.0, help="parsed, unused (parity)")
+    p.add_argument("-bs", type=int, default=0, help="1 = per-vertex negative samples")
+    p.add_argument("-option", type=int, default=5, help="algorithm variant 1-11")
+    # framework extensions
+    p.add_argument("--model", default=None, help="model name (overrides -option)")
+    p.add_argument("--seed", type=int, default=1)
+    p.add_argument("--checkpoint-every", type=int, default=0, help="iters between checkpoints")
+    p.add_argument("--checkpoint-dir", default="")
+    p.add_argument("--resume", default="", help="checkpoint file to resume from")
+    p.add_argument("--eval", action="store_true", help="run link-pred after training")
+    p.add_argument("--labels", default="", help="node labels file for eval")
+    p.add_argument("--devices", type=int, default=0, help="shard over N devices (dp)")
+    p.add_argument("--tp", type=int, default=1, help="tensor-parallel width")
+    p.add_argument("--verbose", action="store_true")
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+
+    from force2vec_tpu.graphs.io import load_graph, write_embeddings
+    from force2vec_tpu.train.trainer import Force2Vec, TrainConfig
+
+    graph = load_graph(args.input)
+    model = args.model or args.option
+    cfg = TrainConfig(
+        dim=args.dim,
+        batch_size=args.batch,
+        model=model,
+        ns=args.nsamples,
+        lr=args.lr,
+        per_vertex_samples=(args.bs == 1),
+    )
+    fv = Force2Vec(graph, cfg)
+    print(
+        f"graph {args.input}: n={graph.n} nnz={graph.nnz}; model={fv.model.name} "
+        f"dim={cfg.dim} batch={fv.dg.batch_size} ns={cfg.ns} lr={fv.lr}"
+    )
+
+    x0 = None
+    start_iter = 0
+    if args.resume:
+        from force2vec_tpu.train.checkpoint import load_checkpoint
+
+        x0, start_iter = load_checkpoint(args.resume)
+        print(f"resumed from {args.resume} at iteration {start_iter}")
+
+    t0 = time.perf_counter()
+    if args.devices > 1:
+        import jax
+
+        from force2vec_tpu.dist import ShardedForce2Vec, make_mesh
+
+        mesh = make_mesh(jax.devices()[: args.devices], tp=args.tp)
+        emb = ShardedForce2Vec(fv, mesh).train(args.iter, seed=args.seed, x0=x0)
+    elif args.checkpoint_every > 0:
+        from force2vec_tpu.train.checkpoint import train_with_checkpoints
+
+        emb = train_with_checkpoints(
+            fv,
+            iters=args.iter,
+            seed=args.seed,
+            x0=x0,
+            start_iter=start_iter,
+            every=args.checkpoint_every,
+            ckpt_dir=args.checkpoint_dir or (args.output or "."),
+            verbose=args.verbose,
+        )
+    else:
+        emb = fv.train(args.iter, seed=args.seed, x0=x0, verbose=args.verbose)
+    train_s = time.perf_counter() - t0
+
+    # output name parity: <graph><ALGO><B>D<D>IT<it>NS<ns>.embd
+    # (algorithms.cpp:650; writeToFile, algorithms.h:118-136)
+    base = os.path.basename(args.input)
+    tag = f"F2V{fv.model.name.upper()}{fv.dg.batch_size}D{cfg.dim}IT{args.iter}NS{cfg.ns}"
+    out_dir = args.output or "."
+    os.makedirs(out_dir, exist_ok=True)
+    out_path = os.path.join(out_dir, base + tag + ".embd")
+    write_embeddings(out_path, emb)
+    print(f"wrote {out_path}  ({train_s:.2f}s, "
+          f"{graph.nnz * args.iter / max(train_s, 1e-9) / 1e6:.1f}M edge-updates/s)")
+
+    # Results.txt ledger row (Test/Force2Vec.cpp:191-198 schema)
+    with open(os.path.join(out_dir, "Results.txt"), "a") as f:
+        f.write(
+            f"{fv.model.name}\tInit\tIteration:{args.iter}\t"
+            f"Numofthreads:{args.threads}\tBatchSize:{fv.dg.batch_size}\t"
+            f"Dimension:{cfg.dim}\tTime(sec.):{train_s:.4f}\n"
+        )
+
+    if args.eval:
+        from force2vec_tpu.eval import link_prediction_scores
+
+        scores = link_prediction_scores(graph, emb)
+        print(
+            "Link prediction (Hadamard): "
+            + " ".join(f"{k}={v:.4f}" for k, v in scores.items())
+        )
+        if args.labels:
+            from force2vec_tpu.eval import node_classification_scores, read_node_labels
+
+            labels = read_node_labels(args.labels, graph.n)
+            for tf, sc in node_classification_scores(emb, labels).items():
+                print(
+                    f"Multilabel-classification {tf:.0%}: "
+                    f"F1-macro={sc['f1_macro']:.4f} F1-micro={sc['f1_micro']:.4f}"
+                )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,105 @@
+"""Link prediction evaluation.
+
+Protocol parity with the reference's ``performancescores/runlinkpredict.py``
+(makeLinkPredictionData, :51-107; scoring loop, :127-140):
+
+* positives: every edge (u, v) with v > u, featureized as an edge embedding
+  of the endpoint rows (default Hadamard product; also l1 / l2 / average);
+* negatives: per vertex u, **twice** the number of its positives drawn
+  uniformly from non-neighbors (the reference's ``totalns += totalns``
+  doubling), capped at (n − deg)/2 for near-complete rows;
+* 50/50 train/test split after a shuffle, LogisticRegression, report
+  Accuracy / F1-macro / F1-micro (plus ROC-AUC, which the reference paper
+  reports but the script does not).
+
+Implementation is vectorized numpy instead of the reference's per-vertex
+Python loops; the sampling distribution is the same.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Tuple
+
+import numpy as np
+
+from force2vec_tpu.graphs.csr import Graph
+
+
+def _edge_features(xu: np.ndarray, xv: np.ndarray, dist: str) -> np.ndarray:
+    if dist == "hadamard":
+        return xu * xv
+    if dist == "l1":
+        return np.abs(xu - xv)
+    if dist == "l2":
+        return (xu - xv) ** 2
+    if dist == "average":
+        return (xu + xv) / 2.0
+    raise ValueError(f"unknown edge feature {dist!r}")
+
+
+def make_link_prediction_data(
+    graph: Graph,
+    emb: np.ndarray,
+    dist: str = "hadamard",
+    seed: int = 0,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Build the (features, labels) dataset: 1 positive per upper-triangle
+    edge, ~2 negatives per positive (runlinkpredict.py:51-107)."""
+    rng = np.random.default_rng(seed)
+    n = graph.n
+    src = np.repeat(np.arange(n), graph.degrees)
+    dst = graph.colids
+    upper = dst > src
+    pu, pv = src[upper], dst[upper]
+
+    # negatives: 2x positives per vertex, rejected against adjacency
+    deg = graph.degrees
+    pos_per_u = np.bincount(pu, minlength=n)
+    want = np.minimum(2 * pos_per_u, np.maximum((n - deg) // 2, 0))
+    nu = np.repeat(np.arange(n), want)
+    # rejection sampling in rounds: draw, drop hits on adjacency, redraw
+    adj = set(zip(src.tolist(), dst.tolist()))
+    nv = rng.integers(0, n, size=nu.shape[0])
+    for _ in range(30):
+        bad = np.fromiter(
+            ((int(u), int(v)) in adj or u == v for u, v in zip(nu, nv)),
+            dtype=bool,
+            count=len(nu),
+        )
+        if not bad.any():
+            break
+        nv[bad] = rng.integers(0, n, size=int(bad.sum()))
+
+    X = np.concatenate(
+        [
+            _edge_features(emb[pu], emb[pv], dist),
+            _edge_features(emb[nu], emb[nv], dist),
+        ]
+    )
+    y = np.concatenate([np.ones(len(pu), np.int64), np.zeros(len(nu), np.int64)])
+    order = rng.permutation(len(y))
+    return X[order], y[order]
+
+
+def link_prediction_scores(
+    graph: Graph,
+    emb: np.ndarray,
+    dist: str = "hadamard",
+    train_frac: float = 0.5,
+    seed: int = 0,
+) -> Dict[str, float]:
+    """LogisticRegression link-pred scores (runlinkpredict.py:127-140)."""
+    from sklearn.linear_model import LogisticRegression
+    from sklearn.metrics import accuracy_score, f1_score, roc_auc_score
+
+    X, y = make_link_prediction_data(graph, emb, dist=dist, seed=seed)
+    cv = int(len(y) * train_frac)
+    model = LogisticRegression(max_iter=200).fit(X[:cv], y[:cv])
+    pred = model.predict(X[cv:])
+    prob = model.predict_proba(X[cv:])[:, 1]
+    return {
+        "accuracy": float(accuracy_score(y[cv:], pred)),
+        "f1_macro": float(f1_score(y[cv:], pred, average="macro")),
+        "f1_micro": float(f1_score(y[cv:], pred, average="micro")),
+        "auc": float(roc_auc_score(y[cv:], prob)),
+    }
