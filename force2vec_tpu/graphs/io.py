@@ -33,12 +33,44 @@ def _parse_numeric_body(text_lines, ncols_hint: Optional[int] = None) -> np.ndar
     return flat.reshape(-1, ncols_hint)
 
 
+def _native_enabled() -> bool:
+    return os.environ.get("F2V_NO_NATIVE", "") != "1"
+
+
+def _dedupe_rows(g: Graph) -> Graph:
+    """Drop duplicate (row, col) entries from a per-row-sorted CSR
+    (vectorized; values of kept entries preserved)."""
+    rows = np.repeat(np.arange(g.n, dtype=np.int64), np.diff(g.rowptr))
+    keep = np.ones(g.nnz, dtype=bool)
+    if g.nnz > 1:
+        keep[1:] = (rows[1:] != rows[:-1]) | (g.colids[1:] != g.colids[:-1])
+    if keep.all():
+        return g
+    colids = g.colids[keep]
+    values = g.values[keep] if g.values is not None else None
+    counts = np.bincount(rows[keep], minlength=g.n)
+    rowptr = np.zeros(g.n + 1, dtype=g.rowptr.dtype)
+    np.cumsum(counts, out=rowptr[1:])
+    return Graph(n=g.n, rowptr=rowptr, colids=colids, values=values)
+
+
 def read_mtx(path: str) -> Graph:
     """Read a MatrixMarket coordinate file into a CSR :class:`Graph`.
 
     Semantics match sample/IO.h:60-156: symmetric headers mirror
     off-diagonal entries and drop self-loops; entries are 1-based.
+
+    Uses the native C++ parser (graphs/native.py) when available; the
+    numpy path below is the reference implementation and fallback.
     """
+    if _native_enabled():
+        from force2vec_tpu.graphs.native import load_mtx_native
+
+        out = load_mtx_native(path)
+        if out is not None:
+            n, rowptr, colids, values = out
+            return Graph(n=n, rowptr=rowptr, colids=colids, values=values)
+
     with open(path, "r") as f:
         header = f.readline()
         is_symmetric = "symmetric" in header
@@ -80,6 +112,22 @@ def read_edgelist(
     drop_self_loops: bool = True,
 ) -> Graph:
     """Read a whitespace edge list (``u v [w]`` per line)."""
+    if _native_enabled():
+        from force2vec_tpu.graphs.native import load_edgelist_native
+
+        out = load_edgelist_native(
+            path,
+            zero_based=zero_based,
+            symmetrize=symmetrize,
+            drop_self_loops=drop_self_loops,
+        )
+        if out is not None:
+            n, rowptr, colids, values = out
+            g = Graph(n=n, rowptr=rowptr, colids=colids, values=values)
+            if symmetrize:
+                g = _dedupe_rows(g)  # both-direction inputs double up on mirror
+            return g
+
     with open(path, "r") as f:
         body = f.read()
     lines = [ln for ln in body.splitlines() if ln.strip() and not ln.startswith(("#", "%"))]
@@ -89,10 +137,11 @@ def read_edgelist(
     vals = data[:, 2].astype(np.float32) if data.shape[1] > 2 else np.ones(len(rows), np.float32)
     if not zero_based:
         rows, cols = rows - 1, cols - 1
+    # vertex count includes vertices whose only edge is a (dropped) self-loop
+    n = int(max(rows.max(), cols.max())) + 1 if len(rows) else 0
     if drop_self_loops:
         off = rows != cols
         rows, cols, vals = rows[off], cols[off], vals[off]
-    n = int(max(rows.max(), cols.max())) + 1 if len(rows) else 0
     if symmetrize:
         rows, cols = np.concatenate([rows, cols]), np.concatenate([cols, rows])
         vals = np.concatenate([vals, vals])

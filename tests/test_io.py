@@ -95,3 +95,46 @@ def test_device_graph_layout():
     assert spans[0][0] == 0 and spans[-1][1] == g.nnz
     for (a, b), (c, _) in zip(spans, spans[1:]):
         assert b == c
+
+
+def test_native_loader_matches_numpy_mtx():
+    """The C++ parser and the numpy reference path must agree exactly."""
+    import importlib
+
+    from force2vec_tpu.graphs import io as gio
+    from force2vec_tpu.graphs.native import load_mtx_native
+
+    for name in ["karate.mtx", "cora.mtx", "citeseer.mtx", "pubmed.mtx"]:
+        path = os.path.join(REF_INPUT, name)
+        out = load_mtx_native(path)
+        if out is None:
+            pytest.skip("native loader unavailable (no g++)")
+        n, rowptr, colids, values = out
+        os.environ["F2V_NO_NATIVE"] = "1"
+        try:
+            ref = gio.read_mtx(path)
+        finally:
+            del os.environ["F2V_NO_NATIVE"]
+        assert n == ref.n and len(colids) == ref.nnz
+        np.testing.assert_array_equal(rowptr, ref.rowptr)
+        np.testing.assert_array_equal(colids, ref.colids)
+
+
+def test_native_loader_matches_numpy_edgelist(tmp_path):
+    from force2vec_tpu.graphs.native import load_edgelist_native
+    from force2vec_tpu.graphs import io as gio
+
+    p = tmp_path / "g.edgelist"
+    p.write_text("0 1\n1 2\n2 0\n1 0\n3 3\n")  # duplicate + self-loop
+    out = load_edgelist_native(str(p))
+    if out is None:
+        pytest.skip("native loader unavailable (no g++)")
+    os.environ["F2V_NO_NATIVE"] = "1"
+    try:
+        ref = gio.read_edgelist(str(p))
+    finally:
+        del os.environ["F2V_NO_NATIVE"]
+    g = gio.read_edgelist(str(p))  # native path (default)
+    assert g.n == ref.n and g.nnz == ref.nnz
+    np.testing.assert_array_equal(g.rowptr, ref.rowptr)
+    np.testing.assert_array_equal(g.colids, ref.colids)
