@@ -1,0 +1,58 @@
+"""Golden parity: the reference ships trained cora embeddings
+(datasets/output/cora.mtxF2VNS384D128IT1200NS5.embd — option 5, B=384,
+D=128, 1200 iters, ns=5).  RNG streams differ by design, so parity is
+*distributional*: training the same configuration here must reach the
+same downstream quality as the golden file (SURVEY.md §4 items 2-3)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from force2vec_tpu.eval import link_prediction_scores, node_classification_scores, read_node_labels
+from force2vec_tpu.graphs import read_embeddings, read_mtx
+from force2vec_tpu.train.trainer import Force2Vec, TrainConfig
+
+REF = "/root/reference/datasets"
+GOLDEN = os.path.join(REF, "output", "cora.mtxF2VNS384D128IT1200NS5.embd")
+
+
+@pytest.fixture(scope="module")
+def cora():
+    return read_mtx(os.path.join(REF, "input", "cora.mtx"))
+
+
+@pytest.fixture(scope="module")
+def golden_emb():
+    return read_embeddings(GOLDEN)
+
+
+@pytest.fixture(scope="module")
+def ours_emb(cora):
+    fv = Force2Vec(
+        cora, TrainConfig(dim=128, batch_size=384, model="tdist", ns=5)
+    )
+    return fv.train(iters=1200, seed=1)
+
+
+def test_golden_linkpred_parity(cora, golden_emb, ours_emb):
+    g = link_prediction_scores(cora, golden_emb, seed=0)
+    o = link_prediction_scores(cora, ours_emb, seed=0)
+    # ours must be at least as good as the golden run (small tolerance)
+    assert o["auc"] >= g["auc"] - 0.02, (o, g)
+    assert o["accuracy"] >= g["accuracy"] - 0.03, (o, g)
+
+
+def test_golden_nodeclass_parity(cora, golden_emb, ours_emb):
+    labels = read_node_labels(os.path.join(REF, "input", "cora.nodes.labels"), cora.n)
+    g = node_classification_scores(golden_emb, labels, train_fracs=(0.25,), seed=0)
+    o = node_classification_scores(ours_emb, labels, train_fracs=(0.25,), seed=0)
+    assert o[0.25]["f1_micro"] >= g[0.25]["f1_micro"] - 0.03, (o, g)
+
+
+def test_golden_embedding_scale(golden_emb, ours_emb):
+    """Same force model + constant lr → coordinate scale within one order
+    of magnitude of the golden artifact."""
+    g_scale = np.abs(golden_emb).mean()
+    o_scale = np.abs(ours_emb).mean()
+    assert 0.1 < o_scale / g_scale < 10.0, (o_scale, g_scale)
