@@ -112,6 +112,152 @@ def _round_up(x: int, m: int) -> int:
 
 
 @dataclasses.dataclass
+class EllBucket:
+    """One degree bucket of the sync layout: ``count`` rows of ELL width
+    ``width`` starting at row ``start`` of the degree-sorted table.  For the
+    hub bucket (``owners is not None``) the rows are *virtual* — partial
+    rows of width ``width`` owned by real rows ``owners`` — and their
+    partial force sums are segment-reduced into the owner rows."""
+
+    width: int
+    start: int  # first (relabeled) real row, or 0 for the hub bucket
+    count: int  # number of (virtual) rows, padded to a multiple of 8
+    nbr: np.ndarray  # [count, width] int32 relabeled neighbor ids (0-padded)
+    deg: np.ndarray  # [count] int32 valid neighbors per row
+    owners: Optional[np.ndarray] = None  # [count] int32 relabeled owner rows
+
+
+@dataclasses.dataclass
+class SyncLayout:
+    """Degree-sorted ELL layout for the epoch-synchronous (sync) schedule.
+
+    The sync schedule is the reference's own semantics at ``batch_size = n``
+    (one batch per iteration — every read sees iteration-start X, one apply
+    per iteration; sample/algorithms.cpp:569-639 with NUMSIZE = n).  For the
+    TPU it removes the serial batch chain entirely: one iteration is one
+    fused device computation.
+
+    Vertices are relabeled by ascending degree so that each power-of-two
+    ELL bucket is a *contiguous* row range of the permuted embedding table:
+    per-bucket updates apply with ``dynamic_update_slice`` — no scatter.
+    Rows with degree > ``hub_width`` are split into virtual rows of width
+    ``hub_width`` (force formulas are per-edge sums, so the split is exact);
+    their partials reduce into owner rows with one small segment-sum.
+    """
+
+    n: int
+    n_pad: int
+    perm: np.ndarray  # [n] original id of relabeled row i
+    inv_perm: np.ndarray  # [n] relabeled row of original id
+    deg: np.ndarray  # [n_pad] int32 degree per relabeled row (0 for padding)
+    buckets: list  # list[EllBucket]
+    padded_edges: int  # Σ count·width — the gather volume per iteration
+
+    @staticmethod
+    def build(
+        graph: Graph,
+        min_width: int = 8,
+        hub_width: int = 256,
+        row_align: int = 8,
+    ) -> "SyncLayout":
+        n = graph.n
+        deg_orig = graph.degrees.astype(np.int64)
+        perm = np.argsort(deg_orig, kind="stable").astype(np.int32)
+        inv_perm = np.empty_like(perm)
+        inv_perm[perm] = np.arange(n, dtype=np.int32)
+        deg_sorted = deg_orig[perm]
+
+        def fill_ell(rows: np.ndarray, width: int):
+            """Vectorized ELL fill: [len(rows), width] relabeled neighbor ids
+            (0-padded) + per-row valid counts, for relabeled rows ``rows``
+            whose degrees are all ≤ width."""
+            lens = deg_sorted[rows].astype(np.int64)
+            total = int(lens.sum())
+            nbr = np.zeros((len(rows), width), dtype=np.int32)
+            dg = lens.astype(np.int32)
+            if total:
+                row_of = np.repeat(np.arange(len(rows)), lens)
+                within = np.arange(total) - np.repeat(np.cumsum(lens) - lens, lens)
+                flat = graph.rowptr[perm[rows]][row_of] + within
+                nbr[row_of, within] = inv_perm[graph.colids[flat]]
+            return nbr, dg
+
+        widths = []
+        w = min_width
+        while w < hub_width:
+            widths.append(w)
+            w *= 2
+        widths.append(hub_width)
+
+        buckets = []
+        padded_edges = 0
+        i = 0
+        # non-hub buckets: contiguous runs of the degree-sorted order
+        for w in widths:
+            j = int(np.searchsorted(deg_sorted, w, side="right"))
+            if j <= i:
+                continue
+            count = _round_up(j - i, row_align)
+            rows = np.arange(i, j)
+            nbr_j, dg_j = fill_ell(rows, w)
+            nbr = np.zeros((count, w), dtype=np.int32)
+            dg = np.zeros(count, dtype=np.int32)
+            nbr[: j - i] = nbr_j
+            dg[: j - i] = dg_j
+            buckets.append(EllBucket(width=w, start=i, count=count, nbr=nbr, deg=dg))
+            padded_edges += count * w
+            i = j
+
+        # hub bucket: rows with deg > hub_width, split into virtual rows
+        if i < n:
+            w = hub_width
+            hub_rows = np.arange(i, n)
+            lens = deg_sorted[hub_rows].astype(np.int64)
+            vcounts = -(-lens // w)  # virtual rows per hub row
+            nv = int(vcounts.sum())
+            owners_v = np.repeat(hub_rows, vcounts).astype(np.int32)
+            # index of each virtual row within its owner
+            vidx = np.arange(nv) - np.repeat(np.cumsum(vcounts) - vcounts, vcounts)
+            vdeg = np.minimum(lens[np.repeat(np.arange(len(hub_rows)), vcounts)] - vidx * w, w)
+            total = int(vdeg.sum())
+            row_of = np.repeat(np.arange(nv), vdeg)
+            within = np.arange(total) - np.repeat(np.cumsum(vdeg) - vdeg, vdeg)
+            flat = (
+                graph.rowptr[perm[owners_v]][row_of] + vidx[row_of] * w + within
+            )
+            count = _round_up(nv, row_align)
+            nbr = np.zeros((count, w), dtype=np.int32)
+            dg = np.zeros(count, dtype=np.int32)
+            owners = np.full(count, i, dtype=np.int32)  # pad rows own row i (deg 0 ⇒ no-op)
+            nbr[row_of, within] = inv_perm[graph.colids[flat]]
+            dg[:nv] = vdeg
+            owners[:nv] = owners_v
+            buckets.append(
+                EllBucket(width=w, start=i, count=count, nbr=nbr, deg=dg, owners=owners)
+            )
+            padded_edges += count * w
+
+        # The table must cover every bucket's padded row range: XLA CLAMPS
+        # out-of-range dynamic_slice starts, which would silently shift a
+        # tail bucket onto its neighbor's rows.
+        max_extent = max(
+            [n] + [b.start + b.count for b in buckets if b.owners is None]
+        )
+        n_pad = _round_up(max_extent, row_align)
+        deg_pad = np.zeros(n_pad, dtype=np.int32)
+        deg_pad[:n] = deg_sorted
+        return SyncLayout(
+            n=n,
+            n_pad=n_pad,
+            perm=perm,
+            inv_perm=inv_perm,
+            deg=deg_pad,
+            buckets=buckets,
+            padded_edges=padded_edges,
+        )
+
+
+@dataclasses.dataclass
 class DeviceGraph:
     """Static-shape device layout of a :class:`Graph` for one batch size.
 

@@ -1,0 +1,316 @@
+"""Epoch-synchronous trainer — the TPU throughput schedule.
+
+Semantically this is the reference's own training loop at ``batch_size =
+n`` (one batch per iteration: every read sees iteration-start X, one apply
+at the end — sample/algorithms.cpp:569-639 with NUMSIZE = n).  What the
+batch-sequential schedule buys the reference on a CPU (cache locality) it
+costs a TPU dearly: hundreds of serial small dispatches per iteration.
+The sync schedule turns one iteration into ONE fused device computation
+over the degree-sorted ELL layout (graphs/csr.py::SyncLayout):
+
+* per degree bucket: gather ``[count, K, D]`` neighbor rows, evaluate the
+  force elementwise on the VPU, mask the padding, reduce over K — a pure
+  bandwidth-bound sweep with no MXU detour and no scatter;
+* hub rows (deg > hub_width) arrive pre-split into virtual rows; their
+  partials reduce into owner rows with one small segment-sum;
+* per-vertex negative sampling (``[n, ns]`` — the ``-bs 1`` flavor of the
+  reference, sample/algorithms.cpp:686-733) for repulsion, batched over
+  the whole table;
+* one apply: ``X += upd`` (or the energy-normalized update for the
+  FR/LinLog/ForceAtlas family).
+
+Everything runs in relabeled (degree-sorted) vertex order; the public API
+permutes in and out.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from force2vec_tpu.dist.spmd import SpmdAxes
+from force2vec_tpu.graphs.csr import Graph, SyncLayout
+from force2vec_tpu.models.forces import get_model
+from force2vec_tpu.train.trainer import TrainConfig
+
+
+class SyncForce2Vec:
+    """Train with the epoch-synchronous schedule (one fused step/iter).
+
+    Supports every sampled-repulsion model (tdist, sigmoid, rwalk, fr,
+    linlog, forceatlas).  ``tdist_exact`` keeps the batch trainer (its
+    O(n²) repulsion already runs as large fused chunks).
+    """
+
+    def __init__(
+        self,
+        graph: Graph,
+        config: TrainConfig = TrainConfig(),
+        min_width: int = 8,
+        hub_width: int = 256,
+    ):
+        self.graph = graph
+        self.config = config
+        self.model = get_model(config.model)
+        if self.model.repulsion == "all":
+            raise ValueError("tdist_exact uses the batch trainer, not sync mode")
+        self.layout = SyncLayout.build(graph, min_width=min_width, hub_width=hub_width)
+        self.lr = config.resolve_lr(self.model)
+        self._dtype = jnp.dtype(config.dtype)
+
+        lay = self.layout
+        garr = {
+            "inv_deg": jnp.asarray(
+                1.0 / (lay.deg.astype(np.float64) + 1.0), dtype=self._dtype
+            ),
+        }
+        for bi, b in enumerate(lay.buckets):
+            garr[f"nbr{bi}"] = jnp.asarray(b.nbr)
+            garr[f"deg{bi}"] = jnp.asarray(b.deg)
+            if b.owners is not None:
+                ol = b.owners - b.start
+                garr[f"own{bi}"] = jnp.asarray(ol)
+                # first virtual row per owner (owners' vrows are consecutive)
+                first = np.zeros(max(lay.n_pad - b.start, 1), dtype=np.int32)
+                u, idx = np.unique(ol, return_index=True)
+                first[u] = idx.astype(np.int32)
+                garr[f"first_vrow{bi}"] = jnp.asarray(first)
+        if self.model.attraction == "walk":
+            garr["deg_all"] = jnp.asarray(lay.deg)
+        self._garr = garr
+
+        self._iteration = self._build_iteration_fn()
+        self._train_jit = jax.jit(self._build_train_fn(), donate_argnums=(1,))
+
+    # -- embedding layout ---------------------------------------------------
+
+    def init_embedding(self, seed: int = 1) -> jnp.ndarray:
+        key = jax.random.PRNGKey(seed)
+        shape = (self.layout.n_pad, self.config.dim)
+        if self.model.init == "uniform01":
+            return jax.random.uniform(key, shape, dtype=self._dtype)
+        return jax.random.uniform(key, shape, dtype=self._dtype, minval=-1.0, maxval=1.0)
+
+    def pad_embedding(self, x: np.ndarray) -> jnp.ndarray:
+        """Host [n, D] (original id order) → device [n_pad, D] relabeled."""
+        x = np.asarray(x, dtype=self._dtype)
+        out = np.zeros((self.layout.n_pad, self.config.dim), dtype=self._dtype)
+        out[: self.graph.n] = x[self.layout.perm]
+        return jnp.asarray(out)
+
+    def unpad_embedding(self, x) -> np.ndarray:
+        """Device [n_pad, D] relabeled → host [n, D] original order."""
+        x = np.asarray(x)[: self.graph.n]
+        return x[self.layout.inv_perm]
+
+    # -- the fused iteration -------------------------------------------------
+
+    def _build_iteration_fn(self, spmd: SpmdAxes = SpmdAxes()):
+        lay, model, cfg = self.layout, self.model, self.config
+        n_pad = lay.n_pad
+        ns = cfg.ns
+        assert cfg.dim % spmd.n_tp == 0
+        dim = cfg.dim // spmd.n_tp
+        rsum = spmd.make_rsum()
+
+        bucket_meta = [
+            (bi, b.width, b.start, b.count, b.owners is not None)
+            for bi, b in enumerate(lay.buckets)
+        ]
+        hub_start = lay.buckets[-1].start if lay.buckets else 0
+        wl = cfg.walk_length
+
+        def attraction(g, x, step):
+            """Σ_buckets masked ELL force — returns the [n_pad, dim] update."""
+            upd = jnp.zeros((n_pad, dim), dtype=x.dtype)
+            for bi, width, start, count, is_hub in bucket_meta:
+                nbr = g[f"nbr{bi}"]
+                dg = g[f"deg{bi}"]
+                if is_hub:
+                    xi = jnp.take(
+                        x, g[f"own{bi}"] + jnp.int32(start), axis=0
+                    )  # [count, dim]
+                else:
+                    xi = jax.lax.dynamic_slice(x, (start, 0), (count, dim))
+                xj = jnp.take(x, nbr.reshape(-1), axis=0).reshape(count, width, dim)
+                invd = jax.lax.dynamic_slice(
+                    g["inv_deg"], (start,), (count,)
+                ) if not is_hub else jnp.take(g["inv_deg"], g[f"own{bi}"] + jnp.int32(start))
+                f = model.edge_force(
+                    xi[:, None, :], xj, invd[:, None, None], step, rsum=rsum
+                )
+                mask = (
+                    jnp.arange(width, dtype=jnp.int32)[None, :] < dg[:, None]
+                )
+                part = jnp.sum(jnp.where(mask[:, :, None], f, 0), axis=1)
+                if is_hub:
+                    part = jax.ops.segment_sum(
+                        part, g[f"own{bi}"], num_segments=n_pad - hub_start
+                    )
+                    count = n_pad - hub_start
+                cur = jax.lax.dynamic_slice(upd, (start, 0), (count, dim))
+                upd = jax.lax.dynamic_update_slice(upd, cur + part, (start, 0))
+            return upd
+
+        def attraction_walk(g, x, walks, step):
+            xj = jnp.take(x, walks.reshape(-1), axis=0).reshape(n_pad, wl, dim)
+            f = model.edge_force(
+                x[:, None, :], xj, g["inv_deg"][:, None, None], step, rsum=rsum
+            )
+            return jnp.sum(f, axis=1)
+
+        def repulsion(x, negs, step):
+            s = jnp.take(x, negs.reshape(-1), axis=0).reshape(n_pad, ns, dim)
+            f = model.sample_force(x[:, None, :], s, step, rsum=rsum)
+            return jnp.sum(f, axis=1)
+
+        def iteration(garr, x, negs, walks, step):
+            step = jnp.asarray(step, dtype=x.dtype)
+            if model.attraction == "walk":
+                upd = attraction_walk(garr, x, walks, step)
+            else:
+                upd = attraction(garr, x, step)
+            upd = upd + repulsion(x, negs, step)
+            if model.update == "energy":
+                fnorm = rsum(upd * upd)
+                safe = jnp.where(fnorm > 0, fnorm, 1.0)
+                factor = jnp.where(fnorm > 0, step / jnp.sqrt(safe), 0.0)
+                return x + factor * upd
+            return x + upd
+
+        return iteration
+
+    def _build_train_fn(self, iteration=None):
+        lay, model, cfg = self.layout, self.model, self.config
+        iteration = iteration or self._iteration
+        lr = self.lr
+        n_pad = lay.n_pad
+
+        def draw(garr, key, it):
+            kit = jax.random.fold_in(key, it)
+            nkey = jax.random.fold_in(kit, 0)
+            if cfg.per_vertex_samples:
+                negs = jax.random.randint(
+                    nkey, (n_pad, cfg.ns), 0, max(lay.n - 1, 1), dtype=jnp.int32
+                )
+            else:
+                # batch-shared samples — the reference's default flavor and
+                # the only one its FR/LinLog/ForceAtlas variants have
+                shared = jax.random.randint(
+                    nkey, (1, cfg.ns), 0, max(lay.n - 1, 1), dtype=jnp.int32
+                )
+                negs = jnp.broadcast_to(shared, (n_pad, cfg.ns))
+            walks = None
+            if model.attraction == "walk":
+                # walk over the relabeled ELL graph: L uniform-neighbor steps
+                wkey = jax.random.fold_in(kit, 1)
+                walks = _ell_walks(garr, lay, wkey, cfg.walk_length)
+            return negs, walks
+
+        def train(garr, x, key, num_iters, iter_offset):
+            def body(t, xc):
+                it = iter_offset + t
+                negs, walks = draw(garr, key, it)
+                if model.lr_schedule == "decay999":
+                    step = lr * jnp.power(jnp.float32(0.999), it).astype(x.dtype)
+                else:
+                    step = jnp.asarray(lr, dtype=x.dtype)
+                return iteration(garr, xc, negs, walks, step)
+
+            return jax.lax.fori_loop(0, num_iters, body, x)
+
+        return train
+
+    # -- public API ----------------------------------------------------------
+
+    def run_iteration(self, x, neg_ids, walks=None, step=None):
+        """One iteration with injected [n_pad, ns] negatives (relabeled ids)
+        and optional [n_pad, L] walks — the parity-test entry point."""
+        if step is None:
+            step = self.lr
+        w = None if walks is None else jnp.asarray(walks, dtype=jnp.int32)
+        return self._iteration(
+            self._garr, jnp.asarray(x), jnp.asarray(neg_ids, dtype=jnp.int32), w, step
+        )
+
+    def train(
+        self,
+        iters: int = 1200,
+        seed: int = 1,
+        x0: Optional[np.ndarray] = None,
+        verbose: bool = False,
+    ) -> np.ndarray:
+        x = self.pad_embedding(x0) if x0 is not None else self.init_embedding(seed)
+        key = jax.random.PRNGKey(seed)
+        t0 = time.perf_counter()
+        x = self._train_jit(self._garr, x, key, iters, 0)
+        out = self.unpad_embedding(x)  # forces completion
+        self.last_train_seconds = time.perf_counter() - t0
+        if verbose:
+            ups = (self.graph.nnz + self.graph.n * self.config.ns) * iters
+            print(
+                f"sync {iters} iters in {self.last_train_seconds:.2f}s  "
+                f"{ups / self.last_train_seconds / 1e6:.1f}M updates/s"
+            )
+        return out
+
+
+def _ell_walks(garr, lay: SyncLayout, key, walk_length: int):
+    """Vectorized L-step uniform walks over the bucketed ELL adjacency
+    (relabeled space).  Each step: draw a slot, look up the neighbor table
+    of the bucket the frontier vertex lives in.
+
+    Implemented by materializing a width-capped row table once per step via
+    per-bucket gathers; stay-in-place for degree-0 rows (divergence from
+    the reference's quirky deg<2 path documented in sampling/walks.py).
+    """
+    n_pad = lay.n_pad
+    start = jnp.arange(n_pad, dtype=jnp.int32)
+
+    # Per-vertex degree (valid neighbor count) and a function mapping
+    # (vertex, slot) -> neighbor id, built from bucket tables.
+    def neighbor_of(v, slot):
+        # v: [n] relabeled ids; slot: [n] in [0, deg)
+        out = jnp.zeros_like(v)
+        for bi, b in enumerate(lay.buckets):
+            nbr = garr[f"nbr{bi}"]
+            if b.owners is None:
+                in_b = (v >= b.start) & (v < b.start + b.count)
+                local = jnp.clip(v - b.start, 0, b.count - 1)
+                got = nbr[local, jnp.clip(slot, 0, b.width - 1)]
+                out = jnp.where(in_b, got, out)
+            else:
+                # hub rows: first virtual row covers slots [0, width)
+                # (slots are drawn mod deg, deg > width possible: wrap to
+                # the right virtual row via owner offsets)
+                in_b = v >= b.start
+                # map (owner, slot) -> virtual row: vrow = first_vrow[owner] + slot // width
+                # first_vrow per owner: precomputed on host
+                first = garr[f"first_vrow{bi}"]
+                local = jnp.clip(v - b.start, 0, first.shape[0] - 1)
+                vrow = first[local] + slot // b.width
+                vrow = jnp.clip(vrow, 0, b.count - 1)
+                got = nbr[vrow, jnp.clip(slot % b.width, 0, b.width - 1)]
+                out = jnp.where(in_b, got, out)
+        return out
+
+    deg = garr["deg_all"]
+
+    def step_fn(carry, step_key):
+        w = carry
+        r = jax.random.randint(
+            step_key, (n_pad,), 0, jnp.iinfo(jnp.int32).max, dtype=jnp.int32
+        )
+        d = jnp.take(deg, w)
+        slot = r % jnp.maximum(d, 1)
+        nxt = neighbor_of(w, slot)
+        nxt = jnp.where(d > 0, nxt, w)
+        return nxt, nxt
+
+    keys = jax.random.split(key, walk_length)
+    _, targets = jax.lax.scan(step_fn, start, keys)
+    return jnp.transpose(targets)
