@@ -46,29 +46,34 @@ def synth_powerlaw_graph(n=131072, avg_deg=16, seed=42):
 
 def main():
     t0 = time.time()
-    from force2vec_tpu.train.trainer import Force2Vec, TrainConfig
+    from force2vec_tpu.train.sync import SyncForce2Vec
+    from force2vec_tpu.train.trainer import TrainConfig
 
     n = int(os.environ.get("BENCH_N", 131072))
     avg_deg = int(os.environ.get("BENCH_DEG", 16))
-    iters = int(os.environ.get("BENCH_ITERS", 30))
-    warmup = int(os.environ.get("BENCH_WARMUP", 5))
+    iters = int(os.environ.get("BENCH_ITERS", 100))
+    warmup = int(os.environ.get("BENCH_WARMUP", 10))
 
     graph = synth_powerlaw_graph(n=n, avg_deg=avg_deg)
-    cfg = TrainConfig(dim=128, batch_size=256, model="tdist", ns=5)
-    fv = Force2Vec(graph, cfg)
+    cfg = TrainConfig(dim=128, model="tdist", ns=5, per_vertex_samples=True)
+    # few, wide buckets: keeps the XLA program small — compile through the
+    # remote-TPU tunnel is the scarce resource, not device time
+    fv = SyncForce2Vec(graph, cfg, min_width=16, hub_width=128)
 
     x = fv.init_embedding(seed=1)
     import jax
+    import numpy as _np
 
     key = jax.random.PRNGKey(1)
 
-    # warmup (compile + first steps)
-    x = fv._train_jit(x, key, warmup, 0)
-    x.block_until_ready()
+    # warmup (compile + first steps; block via a real host transfer — on
+    # the remote-TPU platform block_until_ready alone does not block)
+    x = fv._train_jit(fv._garr, x, key, warmup, 0)
+    _np.asarray(x).ravel()[:1]
 
     t1 = time.perf_counter()
-    x = fv._train_jit(x, key, iters, warmup)
-    x.block_until_ready()
+    x = fv._train_jit(fv._garr, x, key, iters, warmup)
+    _np.asarray(x).ravel()[:1]
     dt = time.perf_counter() - t1
 
     updates_per_iter = graph.nnz + graph.n * cfg.ns

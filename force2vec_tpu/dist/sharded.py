@@ -95,3 +95,50 @@ class ShardedForce2Vec:
         x = self._train_jit(fv._garr, x, key, iters, 0)
         x.block_until_ready()
         return np.asarray(x[: fv.graph.n])
+
+
+class ShardedSyncForce2Vec:
+    """The epoch-synchronous trainer over a (dp, tp) mesh.
+
+    Each rank computes a contiguous 1/dp slice of every ELL bucket's rows
+    (and of the repulsion rows); a tiled ``all_gather`` over ``dp``
+    reassembles the full update on every rank, keeping X dp-replicated —
+    semantics identical to the single-device sync step.  The embedding dim
+    shards over ``tp`` exactly as in the batch runner.
+    """
+
+    def __init__(self, graph, config, mesh: Mesh, min_width=8, hub_width=256):
+        from force2vec_tpu.train.sync import SyncForce2Vec
+
+        n_dp = mesh.shape["dp"]
+        n_tp = mesh.shape["tp"]
+        if config.dim % n_tp:
+            raise ValueError(f"dim {config.dim} not divisible by tp={n_tp}")
+        align = 8
+        while align % n_dp:
+            align *= 2
+        self.fv = SyncForce2Vec(
+            graph, config, min_width=min_width, hub_width=hub_width, row_align=align
+        )
+        self.mesh = mesh
+        self.spmd = SpmdAxes(dp="dp", tp="tp", n_dp=n_dp, n_tp=n_tp)
+
+        iteration = self.fv._build_iteration_fn(self.spmd)
+        device_train = self.fv._build_train_fn(iteration=iteration)
+        self.x_spec = P(None, "tp")
+        sharded = jax.shard_map(
+            device_train,
+            mesh=mesh,
+            in_specs=(P(), self.x_spec, P(), P(), P()),
+            out_specs=self.x_spec,
+            check_vma=False,
+        )
+        self._train_jit = jax.jit(sharded, donate_argnums=(1,))
+
+    def train(self, iters: int, seed: int = 1, x0: Optional[np.ndarray] = None):
+        fv = self.fv
+        x = fv.pad_embedding(x0) if x0 is not None else fv.init_embedding(seed)
+        x = jax.device_put(x, NamedSharding(self.mesh, self.x_spec))
+        key = jax.random.PRNGKey(seed)
+        x = self._train_jit(fv._garr, x, key, iters, 0)
+        return fv.unpad_embedding(x)

@@ -52,13 +52,16 @@ class SyncForce2Vec:
         config: TrainConfig = TrainConfig(),
         min_width: int = 8,
         hub_width: int = 256,
+        row_align: int = 8,
     ):
         self.graph = graph
         self.config = config
         self.model = get_model(config.model)
         if self.model.repulsion == "all":
             raise ValueError("tdist_exact uses the batch trainer, not sync mode")
-        self.layout = SyncLayout.build(graph, min_width=min_width, hub_width=hub_width)
+        self.layout = SyncLayout.build(
+            graph, min_width=min_width, hub_width=hub_width, row_align=row_align
+        )
         self.lr = config.resolve_lr(self.model)
         self._dtype = jnp.dtype(config.dtype)
 
@@ -117,56 +120,91 @@ class SyncForce2Vec:
         dim = cfg.dim // spmd.n_tp
         rsum = spmd.make_rsum()
 
-        bucket_meta = [
-            (bi, b.width, b.start, b.count, b.owners is not None)
-            for bi, b in enumerate(lay.buckets)
-        ]
+        # Buckets tile [0, n) contiguously in the degree-sorted order (the
+        # hub bucket owns the tail range), so the attraction update is a
+        # CONCATENATION of per-bucket results — no read-modify-write of the
+        # full table.  Real (unpadded) extents are static.
+        n = lay.n
+        bucket_meta = []
+        for bi, b in enumerate(lay.buckets):
+            is_hub = b.owners is not None
+            end = n if is_hub or bi == len(lay.buckets) - 1 else lay.buckets[bi + 1].start
+            bucket_meta.append((bi, b.width, b.start, b.count, end - b.start, is_hub))
         hub_start = lay.buckets[-1].start if lay.buckets else 0
         wl = cfg.walk_length
 
+        # dp sharding: each rank computes a contiguous 1/n_dp slice of every
+        # bucket's rows (and of the repulsion rows); one tiled all_gather
+        # per piece reassembles the full update on every rank.  X stays
+        # dp-replicated, so the schedule's semantics are unchanged.
+        n_dp, dp_axis = spmd.n_dp, spmd.dp
+
+        def shard_rows(total: int):
+            """(local_count, offset_fn) for splitting `total` rows over dp."""
+            assert total % n_dp == 0, (
+                f"row count {total} not divisible by dp={n_dp}"
+            )
+            local = total // n_dp
+            return local, lambda: spmd.dp_rank() * local
+
+        def gathered(part_local):
+            if dp_axis is None:
+                return part_local
+            return jax.lax.all_gather(part_local, dp_axis, axis=0, tiled=True)
+
         def attraction(g, x, step):
             """Σ_buckets masked ELL force — returns the [n_pad, dim] update."""
-            upd = jnp.zeros((n_pad, dim), dtype=x.dtype)
-            for bi, width, start, count, is_hub in bucket_meta:
-                nbr = g[f"nbr{bi}"]
-                dg = g[f"deg{bi}"]
+            parts = []
+            for bi, width, start, count, real, is_hub in bucket_meta:
+                local, off = shard_rows(count)
+                r0 = off()
+                nbr = jax.lax.dynamic_slice(
+                    g[f"nbr{bi}"], (r0, 0), (local, width)
+                )
+                dg = jax.lax.dynamic_slice(g[f"deg{bi}"], (r0,), (local,))
                 if is_hub:
-                    xi = jnp.take(
-                        x, g[f"own{bi}"] + jnp.int32(start), axis=0
-                    )  # [count, dim]
+                    owners = jax.lax.dynamic_slice(g[f"own{bi}"], (r0,), (local,))
+                    xi = jnp.take(x, owners + jnp.int32(start), axis=0)
+                    invd = jnp.take(g["inv_deg"], owners + jnp.int32(start))
                 else:
-                    xi = jax.lax.dynamic_slice(x, (start, 0), (count, dim))
-                xj = jnp.take(x, nbr.reshape(-1), axis=0).reshape(count, width, dim)
-                invd = jax.lax.dynamic_slice(
-                    g["inv_deg"], (start,), (count,)
-                ) if not is_hub else jnp.take(g["inv_deg"], g[f"own{bi}"] + jnp.int32(start))
+                    xi = jax.lax.dynamic_slice(x, (start + r0, 0), (local, dim))
+                    invd = jax.lax.dynamic_slice(g["inv_deg"], (start + r0,), (local,))
+                xj = jnp.take(x, nbr.reshape(-1), axis=0).reshape(local, width, dim)
                 f = model.edge_force(
                     xi[:, None, :], xj, invd[:, None, None], step, rsum=rsum
                 )
-                mask = (
-                    jnp.arange(width, dtype=jnp.int32)[None, :] < dg[:, None]
-                )
+                mask = jnp.arange(width, dtype=jnp.int32)[None, :] < dg[:, None]
                 part = jnp.sum(jnp.where(mask[:, :, None], f, 0), axis=1)
+                part = gathered(part)  # [count, dim] on every rank
                 if is_hub:
-                    part = jax.ops.segment_sum(
-                        part, g[f"own{bi}"], num_segments=n_pad - hub_start
-                    )
-                    count = n_pad - hub_start
-                cur = jax.lax.dynamic_slice(upd, (start, 0), (count, dim))
-                upd = jax.lax.dynamic_update_slice(upd, cur + part, (start, 0))
-            return upd
+                    part = jax.ops.segment_sum(part, g[f"own{bi}"], num_segments=real)
+                else:
+                    part = part[:real]  # drop alignment-padding rows (static)
+                parts.append(part)
+            if n_pad > n:
+                parts.append(jnp.zeros((n_pad - n, dim), dtype=x.dtype))
+            return jnp.concatenate(parts, axis=0)
 
         def attraction_walk(g, x, walks, step):
-            xj = jnp.take(x, walks.reshape(-1), axis=0).reshape(n_pad, wl, dim)
+            local, off = shard_rows(n_pad)
+            r0 = off()
+            wb = jax.lax.dynamic_slice(walks, (r0, 0), (local, wl))
+            xi = jax.lax.dynamic_slice(x, (r0, 0), (local, dim))
+            invd = jax.lax.dynamic_slice(g["inv_deg"], (r0,), (local,))
+            xj = jnp.take(x, wb.reshape(-1), axis=0).reshape(local, wl, dim)
             f = model.edge_force(
-                x[:, None, :], xj, g["inv_deg"][:, None, None], step, rsum=rsum
+                xi[:, None, :], xj, invd[:, None, None], step, rsum=rsum
             )
-            return jnp.sum(f, axis=1)
+            return gathered(jnp.sum(f, axis=1))
 
         def repulsion(x, negs, step):
-            s = jnp.take(x, negs.reshape(-1), axis=0).reshape(n_pad, ns, dim)
-            f = model.sample_force(x[:, None, :], s, step, rsum=rsum)
-            return jnp.sum(f, axis=1)
+            local, off = shard_rows(n_pad)
+            r0 = off()
+            nb = jax.lax.dynamic_slice(negs, (r0, 0), (local, ns))
+            xi = jax.lax.dynamic_slice(x, (r0, 0), (local, dim))
+            s = jnp.take(x, nb.reshape(-1), axis=0).reshape(local, ns, dim)
+            f = model.sample_force(xi[:, None, :], s, step, rsum=rsum)
+            return gathered(jnp.sum(f, axis=1))
 
         def iteration(garr, x, negs, walks, step):
             step = jnp.asarray(step, dtype=x.dtype)

@@ -47,3 +47,20 @@ def test_sharded_rejects_indivisible(small_graph):
 def test_mesh_helper_shapes():
     mesh = make_mesh(jax.devices(), dp=4, tp=2)
     assert mesh.shape["dp"] == 4 and mesh.shape["tp"] == 2
+
+
+@pytest.mark.parametrize("dp,tp", [(8, 1), (2, 4)])
+def test_sharded_sync_matches_single_device(small_graph, dp, tp):
+    from force2vec_tpu.dist.sharded import ShardedSyncForce2Vec
+    from force2vec_tpu.train.sync import SyncForce2Vec
+
+    cfg = TrainConfig(dim=DIM, batch_size=small_graph.n, model="tdist", ns=4,
+                      per_vertex_samples=True)
+    want = SyncForce2Vec(small_graph, cfg, min_width=4, hub_width=16).train(
+        iters=ITERS, seed=3
+    )
+    mesh = make_mesh(jax.devices()[: dp * tp], dp=dp, tp=tp)
+    got = ShardedSyncForce2Vec(
+        small_graph, cfg, mesh, min_width=4, hub_width=16
+    ).train(iters=ITERS, seed=3)
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
