@@ -98,7 +98,7 @@ def main():
         )
     )
     print(
-        f"# n={graph.n} nnz={graph.nnz} dim=128 B=256 ns=5 iters={iters} "
+        f"# n={graph.n} nnz={graph.nnz} dim=128 schedule=sync ns=5 iters={iters} "
         f"time={dt:.2f}s total_wall={time.time()-t0:.1f}s "
         f"platform={jax.devices()[0].platform}",
         file=sys.stderr,

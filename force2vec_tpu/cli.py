@@ -49,6 +49,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--labels", default="", help="node labels file for eval")
     p.add_argument("--devices", type=int, default=0, help="shard over N devices (dp)")
     p.add_argument("--tp", type=int, default=1, help="tensor-parallel width")
+    p.add_argument(
+        "--schedule",
+        choices=["batch", "sync"],
+        default="batch",
+        help="batch: reference batch-sequential semantics; sync: epoch-"
+        "synchronous throughput schedule (= reference at batch_size=n)",
+    )
     p.add_argument("--verbose", action="store_true")
     return p
 
@@ -84,13 +91,25 @@ def main(argv=None) -> int:
         print(f"resumed from {args.resume} at iteration {start_iter}")
 
     t0 = time.perf_counter()
-    if args.devices > 1:
+    if args.schedule == "sync" and args.devices <= 1:
+        from force2vec_tpu.train.sync import SyncForce2Vec
+
+        sfv = SyncForce2Vec(graph, cfg)
+        emb = sfv.train(args.iter, seed=args.seed, x0=x0, verbose=args.verbose)
+    elif args.devices > 1:
         import jax
 
         from force2vec_tpu.dist import ShardedForce2Vec, make_mesh
 
         mesh = make_mesh(jax.devices()[: args.devices], tp=args.tp)
-        emb = ShardedForce2Vec(fv, mesh).train(args.iter, seed=args.seed, x0=x0)
+        if args.schedule == "sync":
+            from force2vec_tpu.dist.sharded import ShardedSyncForce2Vec
+
+            emb = ShardedSyncForce2Vec(graph, cfg, mesh).train(
+                args.iter, seed=args.seed, x0=x0
+            )
+        else:
+            emb = ShardedForce2Vec(fv, mesh).train(args.iter, seed=args.seed, x0=x0)
     elif args.checkpoint_every > 0:
         from force2vec_tpu.train.checkpoint import train_with_checkpoints
 

@@ -91,3 +91,13 @@ def test_checkpointed_training_matches_straight_run(tmp_path):
         ckpt_dir=str(tmp_path / "resume"),
     )
     np.testing.assert_allclose(resumed, straight, rtol=1e-6, atol=1e-7)
+
+
+def test_cli_sync_schedule(tmp_path):
+    out = _run_cli(
+        ["-input", KARATE, "-output", str(tmp_path), "-iter", "40",
+         "-dim", "8", "--schedule", "sync", "--eval"],
+        tmp_path,
+    )
+    assert out.returncode == 0, out.stderr
+    assert "Link prediction" in out.stdout
