@@ -97,6 +97,23 @@ class Graph:
             rng.shuffle(colids[s:e])
         return Graph(self.n, self.rowptr.copy(), colids, self.values)
 
+    def induced_subgraph(self, nodes: np.ndarray) -> "Graph":
+        """CSR of the subgraph induced by ``nodes`` (relabeled 0..k-1).
+
+        The reference's big-graph link-prediction script evaluates on the
+        first ``size`` vertices (performancescores/biglinkprediction.py);
+        passing ``np.arange(size)`` reproduces that subsample.
+        """
+        nodes = np.asarray(nodes, dtype=np.int64)
+        remap = np.full(self.n, -1, dtype=np.int64)
+        remap[nodes] = np.arange(len(nodes))
+        src = np.repeat(np.arange(self.n), self.degrees)
+        keep = (remap[src] >= 0) & (remap[self.colids] >= 0)
+        rows = remap[src[keep]]
+        cols = remap[self.colids[keep]]
+        vals = self.values[keep] if self.values is not None else None
+        return Graph.from_coo(rows, cols, vals, n=len(nodes))
+
     def is_sorted(self) -> bool:
         """Row-wise sortedness check (parity with CSR::Sorted,
         used by the driver at Test/Force2Vec.cpp:123)."""

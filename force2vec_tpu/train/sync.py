@@ -53,12 +53,20 @@ class SyncForce2Vec:
         min_width: int = 8,
         hub_width: int = 256,
         row_align: int = 8,
+        use_pallas: Optional[bool] = None,
     ):
         self.graph = graph
         self.config = config
         self.model = get_model(config.model)
         if self.model.repulsion == "all":
             raise ValueError("tdist_exact uses the batch trainer, not sync mode")
+        # Default OFF after measurement: on v5e the XLA path fuses the
+        # neighbor gather straight into the force chain, while the Pallas
+        # pipeline forces a full [C, K, D] HBM materialization between
+        # gather and kernel — measured 64.4M updates/s (XLA) vs 44.6M
+        # (Pallas) on the bench graph.  The kernel stays available for
+        # shapes/backends where the tradeoff flips.
+        self.use_pallas = bool(use_pallas)
         self.layout = SyncLayout.build(
             graph, min_width=min_width, hub_width=hub_width, row_align=row_align
         )
@@ -139,6 +147,27 @@ class SyncForce2Vec:
         # dp-replicated, so the schedule's semantics are unchanged.
         n_dp, dp_axis = spmd.n_dp, spmd.dp
 
+        # Fused Pallas force sweep (ops/pallas_force.py): only on the real
+        # TPU path and only when the lane dim is whole (tp=1) — the kernel
+        # reduces over the full embedding dim locally.
+        use_pallas = self.use_pallas and spmd.n_tp == 1
+
+        def force_sum(kind, xi, xj, dg, invd, step):
+            """Masked force sum over the K axis: Pallas kernel or jnp."""
+            if use_pallas:
+                from force2vec_tpu.ops.pallas_force import ell_force
+
+                return ell_force(model, kind, xi, xj, dg, invd, step)
+            k = xj.shape[1]
+            if kind == "edge":
+                f = model.edge_force(
+                    xi[:, None, :], xj, invd[:, None, None], step, rsum=rsum
+                )
+            else:
+                f = model.sample_force(xi[:, None, :], xj, step, rsum=rsum)
+            mask = jnp.arange(k, dtype=jnp.int32)[None, :] < dg[:, None]
+            return jnp.sum(jnp.where(mask[:, :, None], f, 0), axis=1)
+
         def shard_rows(total: int):
             """(local_count, offset_fn) for splitting `total` rows over dp."""
             assert total % n_dp == 0, (
@@ -170,11 +199,7 @@ class SyncForce2Vec:
                     xi = jax.lax.dynamic_slice(x, (start + r0, 0), (local, dim))
                     invd = jax.lax.dynamic_slice(g["inv_deg"], (start + r0,), (local,))
                 xj = jnp.take(x, nbr.reshape(-1), axis=0).reshape(local, width, dim)
-                f = model.edge_force(
-                    xi[:, None, :], xj, invd[:, None, None], step, rsum=rsum
-                )
-                mask = jnp.arange(width, dtype=jnp.int32)[None, :] < dg[:, None]
-                part = jnp.sum(jnp.where(mask[:, :, None], f, 0), axis=1)
+                part = force_sum("edge", xi, xj, dg, invd, step)
                 part = gathered(part)  # [count, dim] on every rank
                 if is_hub:
                     part = jax.ops.segment_sum(part, g[f"own{bi}"], num_segments=real)
@@ -192,10 +217,8 @@ class SyncForce2Vec:
             xi = jax.lax.dynamic_slice(x, (r0, 0), (local, dim))
             invd = jax.lax.dynamic_slice(g["inv_deg"], (r0,), (local,))
             xj = jnp.take(x, wb.reshape(-1), axis=0).reshape(local, wl, dim)
-            f = model.edge_force(
-                xi[:, None, :], xj, invd[:, None, None], step, rsum=rsum
-            )
-            return gathered(jnp.sum(f, axis=1))
+            full = jnp.full((local,), wl, dtype=jnp.int32)
+            return gathered(force_sum("edge", xi, xj, full, invd, step))
 
         def repulsion(x, negs, step):
             local, off = shard_rows(n_pad)
@@ -203,8 +226,9 @@ class SyncForce2Vec:
             nb = jax.lax.dynamic_slice(negs, (r0, 0), (local, ns))
             xi = jax.lax.dynamic_slice(x, (r0, 0), (local, dim))
             s = jnp.take(x, nb.reshape(-1), axis=0).reshape(local, ns, dim)
-            f = model.sample_force(xi[:, None, :], s, step, rsum=rsum)
-            return gathered(jnp.sum(f, axis=1))
+            full = jnp.full((local,), ns, dtype=jnp.int32)
+            invd0 = jnp.zeros((local,), dtype=x.dtype)
+            return gathered(force_sum("sample", xi, s, full, invd0, step))
 
         def iteration(garr, x, negs, walks, step):
             step = jnp.asarray(step, dtype=x.dtype)

@@ -87,3 +87,24 @@ def test_visualize_writes_file(karate, tmp_path):
     out = str(tmp_path / "vis.pdf")
     draw_communities(emb, np.zeros(karate.n, dtype=int), out)
     assert os.path.getsize(out) > 0
+
+
+def test_graph_reconstruction(karate):
+    from force2vec_tpu.eval.reconstruction import graph_reconstruction_accuracy
+
+    fv = Force2Vec(karate, TrainConfig(dim=16, batch_size=34, model="tdist", ns=5))
+    emb = fv.train(iters=300, seed=1)
+    acc = graph_reconstruction_accuracy(karate, emb, num_vertices=34, seed=0)
+    rand = np.random.default_rng(0).normal(size=emb.shape)
+    acc_rand = graph_reconstruction_accuracy(karate, rand, num_vertices=34, seed=0)
+    assert acc > acc_rand + 0.1
+    assert acc > 0.3
+
+
+def test_induced_subgraph(karate):
+    sub = karate.induced_subgraph(np.arange(10))
+    assert sub.n == 10
+    # edges of the subgraph are exactly karate's edges among nodes 0..9
+    src = np.repeat(np.arange(karate.n), karate.degrees)
+    want = sum(1 for s, d in zip(src, karate.colids) if s < 10 and d < 10)
+    assert sub.nnz == want
