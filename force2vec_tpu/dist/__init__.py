@@ -6,7 +6,13 @@
 
 from force2vec_tpu.dist.spmd import SpmdAxes
 
-__all__ = ["ShardedForce2Vec", "make_mesh", "SpmdAxes"]
+__all__ = [
+    "ShardedForce2Vec",
+    "make_mesh",
+    "SpmdAxes",
+    "VertexShardedForce2Vec",
+    "make_vp_mesh",
+]
 
 
 def __getattr__(name):
@@ -14,4 +20,8 @@ def __getattr__(name):
         from force2vec_tpu.dist import sharded
 
         return getattr(sharded, name)
+    if name in ("VertexShardedForce2Vec", "make_vp_mesh"):
+        from force2vec_tpu.dist import vertex_sharded
+
+        return getattr(vertex_sharded, name)
     raise AttributeError(name)

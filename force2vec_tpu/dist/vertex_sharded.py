@@ -1,0 +1,332 @@
+"""Vertex-sharded training: X partitioned over a ``vp`` mesh axis with a
+static halo exchange — the scale-out mode for graphs whose embedding table
+outgrows one chip's HBM.
+
+The reference has no distributed analog (single address space, SURVEY.md
+§5); this is the design BASELINE.json's north star asks for: a 1-D vertex
+partition of the embedding table, each shard computing forces for its own
+rows, with the remote neighbor rows it reads ("the halo") delivered once
+per iteration by ONE ``lax.all_to_all`` riding ICI.  Per iteration, per
+shard:
+
+1. build the send buffer ``x_loc[send_idx]`` — one gather;
+2. ``all_to_all`` over ``vp`` → halo buffer ``[P·H, D]``;
+3. per degree-bucket ELL force sweep over ``concat([x_loc, halo])`` —
+   identical math to the single-chip sync schedule (train/sync.py);
+4. repulsion against a small global sample pool assembled by a masked
+   ``psum`` (every shard contributes the pool rows it owns);
+5. apply: ``x_loc += upd_loc`` — updates are owner-local by construction,
+   so the apply needs NO collective at all.
+
+Semantics in ``shared`` sampling mode are exactly the epoch-synchronous
+schedule's (= the reference's loop at batch_size = n with its default
+batch-shared negatives, sample/algorithms.cpp:569-639): the parity test
+asserts allclose against :class:`~force2vec_tpu.train.sync.SyncForce2Vec`.
+In ``pool`` mode each vertex draws its ``ns`` negatives from a
+``neg_pool``-row global pool per iteration — the scale-out flavor of the
+reference's per-vertex ``-bs 1`` sampling (a pool is what keeps the
+exchange static-shape; divergence documented here, quality-gated in
+tests/test_vertex_sharded.py).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from force2vec_tpu.graphs.csr import Graph
+from force2vec_tpu.graphs.partition import VertexShardLayout
+from force2vec_tpu.models.forces import get_model
+from force2vec_tpu.train.trainer import TrainConfig
+
+
+def make_vp_mesh(devices=None) -> Mesh:
+    """1-D ``vp`` mesh over the given (default: all) devices."""
+    devices = list(devices if devices is not None else jax.devices())
+    return Mesh(np.asarray(devices), axis_names=("vp",))
+
+
+class VertexShardedForce2Vec:
+    """Train with X vertex-sharded over a 1-D ``vp`` mesh."""
+
+    def __init__(
+        self,
+        graph: Graph,
+        config: TrainConfig = TrainConfig(),
+        mesh: Optional[Mesh] = None,
+        min_width: int = 8,
+        hub_width: int = 256,
+        row_align: int = 8,
+        sampling: str = "shared",
+        neg_pool: int = 128,
+    ):
+        self.graph = graph
+        self.config = config
+        self.model = get_model(config.model)
+        if self.model.repulsion == "all":
+            raise ValueError("tdist_exact runs the batch trainer, not vertex-sharded")
+        if self.model.attraction == "walk":
+            raise NotImplementedError(
+                "rwalk's walk engine is not vertex-sharded yet; use the "
+                "dp/tp runner (dist/sharded.py) for rwalk at scale"
+            )
+        if sampling not in ("shared", "pool"):
+            raise ValueError(f"sampling must be 'shared' or 'pool', got {sampling!r}")
+        self.mesh = mesh if mesh is not None else make_vp_mesh()
+        self.P = self.mesh.shape["vp"]
+        self.sampling = sampling
+        self.neg_pool = int(neg_pool)
+        self.lr = config.resolve_lr(self.model)
+        self._dtype = jnp.dtype(config.dtype)
+
+        self.layout = VertexShardLayout.build(
+            graph,
+            self.P,
+            min_width=min_width,
+            hub_width=hub_width,
+            row_align=row_align,
+        )
+        lay = self.layout
+        garr = {
+            "send_idx": jnp.asarray(lay.send_idx),  # [P, P, H]
+            "inv_deg": jnp.asarray(
+                1.0 / (lay.deg_loc.astype(np.float64) + 1.0), dtype=self._dtype
+            ),  # [P, n_loc]
+        }
+        for bi, b in enumerate(lay.buckets):
+            garr[f"nbr{bi}"] = jnp.asarray(b.nbr)  # [P, count, width]
+            garr[f"deg{bi}"] = jnp.asarray(b.deg)  # [P, count]
+            if b.owners is not None:
+                garr[f"own{bi}"] = jnp.asarray(b.owners)
+        self._garr = garr
+        self._gspecs = {k: P("vp") for k in garr}
+
+        self.x_spec = P("vp", None)
+        self._iteration = self._build_iteration_fn()
+        train = self._build_train_fn()
+        sharded = jax.shard_map(
+            train,
+            mesh=self.mesh,
+            in_specs=(self._gspecs, self.x_spec, P(), P(), P()),
+            out_specs=self.x_spec,
+            check_vma=False,
+        )
+        self._train_jit = jax.jit(sharded, donate_argnums=(1,))
+
+    # -- embedding layout ----------------------------------------------------
+
+    def init_embedding(self, seed: int = 1) -> jnp.ndarray:
+        key = jax.random.PRNGKey(seed)
+        shape = (self.P * self.layout.n_loc, self.config.dim)
+        if self.model.init == "uniform01":
+            x = jax.random.uniform(key, shape, dtype=self._dtype)
+        else:
+            x = jax.random.uniform(key, shape, dtype=self._dtype, minval=-1.0, maxval=1.0)
+        return jax.device_put(x, NamedSharding(self.mesh, self.x_spec))
+
+    def pad_embedding(self, x: np.ndarray) -> jnp.ndarray:
+        """Host [n, D] (original id order) → device [P·n_loc, D] sharded."""
+        lay = self.layout
+        x = np.asarray(x, dtype=self._dtype)
+        out = np.zeros((self.P * lay.n_loc, self.config.dim), dtype=self._dtype)
+        g = lay.inv_perm[np.arange(lay.n)]  # global degree-sorted row of id v
+        out[lay.shard_of[g] * lay.n_loc + lay.lrow_of[g]] = x
+        return jax.device_put(out, NamedSharding(self.mesh, self.x_spec))
+
+    def unpad_embedding(self, x) -> np.ndarray:
+        """Device [P·n_loc, D] sharded → host [n, D] original order."""
+        lay = self.layout
+        x = np.asarray(x)
+        g = lay.inv_perm[np.arange(lay.n)]
+        return x[lay.shard_of[g] * lay.n_loc + lay.lrow_of[g]]
+
+    # -- the per-shard iteration ----------------------------------------------
+
+    def _build_iteration_fn(self):
+        lay, model, cfg = self.layout, self.model, self.config
+        n_loc, H, Pn = lay.n_loc, lay.halo_width, lay.n_shards
+        ns, dim = cfg.ns, cfg.dim
+        covered = sum(
+            b.real_count if b.owners is None else 0 for b in lay.buckets
+        )
+        hub = lay.buckets[-1] if lay.buckets and lay.buckets[-1].owners is not None else None
+        covered += hub.real_count if hub is not None else 0
+
+        def force_sum(kind, xi, xj, dg, invd, step):
+            k = xj.shape[1]
+            if kind == "edge":
+                f = model.edge_force(xi[:, None, :], xj, invd[:, None, None], step)
+            else:
+                f = model.sample_force(xi[:, None, :], xj, step)
+            mask = jnp.arange(k, dtype=jnp.int32)[None, :] < dg[:, None]
+            return jnp.sum(jnp.where(mask[:, :, None], f, 0), axis=1)
+
+        def iteration(g, x_loc, pool_rows, choice, step):
+            """One epoch-synchronous step on this shard.
+
+            ``x_loc`` [n_loc, D]; ``pool_rows`` [S, D] replicated sample
+            pool; ``choice`` [n_loc, ns] indices into the pool (or None in
+            shared mode with S == ns); returns the new ``x_loc``.
+            """
+            step = jnp.asarray(step, dtype=x_loc.dtype)
+            # 1-2. halo exchange: send[j] = my rows destined to shard j
+            send = jnp.take(x_loc, g["send_idx"][0], axis=0)  # [P, H, D]
+            if Pn > 1:
+                halo = jax.lax.all_to_all(send, "vp", split_axis=0, concat_axis=0)
+            else:
+                halo = send
+            xtab = jnp.concatenate([x_loc, halo.reshape(Pn * H, dim)], axis=0)
+
+            # 3. attraction: per-bucket masked ELL sweeps, concatenated
+            parts = []
+            for bi, b in enumerate(lay.buckets):
+                nbr, dg_b = g[f"nbr{bi}"][0], g[f"deg{bi}"][0]
+                xj = jnp.take(xtab, nbr.reshape(-1), axis=0).reshape(
+                    b.count, b.width, dim
+                )
+                if b.owners is None:
+                    xi = jax.lax.dynamic_slice(
+                        x_loc, (b.start_local, 0), (b.count, dim)
+                    )
+                    invd = jax.lax.dynamic_slice(
+                        g["inv_deg"][0], (b.start_local,), (b.count,)
+                    )
+                else:
+                    own = g[f"own{bi}"][0]
+                    xi = jnp.take(x_loc, own + jnp.int32(b.start_local), axis=0)
+                    invd = jnp.take(g["inv_deg"][0], own + jnp.int32(b.start_local))
+                part = force_sum("edge", xi, xj, dg_b, invd, step)
+                if b.owners is not None:
+                    part = jax.ops.segment_sum(
+                        part, g[f"own{bi}"][0], num_segments=b.real_count
+                    )
+                parts.append(part)
+            if n_loc > covered:
+                parts.append(jnp.zeros((n_loc - covered, dim), dtype=x_loc.dtype))
+            upd = jnp.concatenate(parts, axis=0)
+
+            # 4. repulsion against the replicated pool
+            if choice is None:
+                s = jnp.broadcast_to(pool_rows[None], (n_loc, ns, dim))
+            else:
+                s = jnp.take(pool_rows, choice.reshape(-1), axis=0).reshape(
+                    n_loc, ns, dim
+                )
+            full = jnp.full((n_loc,), ns, dtype=jnp.int32)
+            invd0 = jnp.zeros((n_loc,), dtype=x_loc.dtype)
+            upd = upd + force_sum("sample", x_loc, s, full, invd0, step)
+
+            # 5. apply — owner-local, NO collective: the energy norm is
+            # per-vertex (factor_i = STEP/√‖upd_i‖², algorithms.cpp:224-239)
+            if model.update == "energy":
+                fnorm = jnp.sum(upd * upd, axis=-1, keepdims=True)
+                safe = jnp.where(fnorm > 0, fnorm, 1.0)
+                factor = jnp.where(fnorm > 0, step / jnp.sqrt(safe), 0.0)
+                return x_loc + factor * upd
+            return x_loc + upd
+
+        return iteration
+
+    def _build_pool_fn(self):
+        """(g, x_loc, pool_g) -> [S, D] replicated rows of global ids
+        ``pool_g`` — a masked gather + one psum over ``vp``."""
+        lay = self.layout
+        shard_of = jnp.asarray(lay.shard_of)
+        lrow_of = jnp.asarray(lay.lrow_of)
+        Pn = lay.n_shards
+
+        def pool_rows(x_loc, pool_g):
+            rank = jax.lax.axis_index("vp") if Pn > 1 else 0
+            owner = jnp.take(shard_of, pool_g)
+            lr = jnp.take(lrow_of, pool_g)
+            mine = (owner == rank).astype(x_loc.dtype)[:, None]
+            rows = jnp.take(x_loc, lr, axis=0) * mine
+            if Pn > 1:
+                rows = jax.lax.psum(rows, "vp")
+            return rows
+
+        return pool_rows
+
+    def _build_train_fn(self):
+        lay, model, cfg = self.layout, self.model, self.config
+        iteration = self._iteration
+        pool_fn = self._build_pool_fn()
+        lr = self.lr
+        n_loc, Pn = lay.n_loc, lay.n_shards
+        S = cfg.ns if self.sampling == "shared" else self.neg_pool
+
+        def draw(key, it):
+            kit = jax.random.fold_in(key, it)
+            # pool ids: same on every rank (key independent of rank)
+            pool_g = jax.random.randint(
+                jax.random.fold_in(kit, 0), (S,), 0, max(lay.n - 1, 1), jnp.int32
+            )
+            choice = None
+            if self.sampling == "pool":
+                rank = jax.lax.axis_index("vp") if Pn > 1 else 0
+                ckey = jax.random.fold_in(jax.random.fold_in(kit, 1), rank)
+                choice = jax.random.randint(
+                    ckey, (n_loc, cfg.ns), 0, S, dtype=jnp.int32
+                )
+            return pool_g, choice
+
+        def train(g, x_loc, key, num_iters, iter_offset):
+            def body(t, xc):
+                it = iter_offset + t
+                pool_g, choice = draw(key, it)
+                rows = pool_fn(xc, pool_g)
+                if model.lr_schedule == "decay999":
+                    step = lr * jnp.power(jnp.float32(0.999), it).astype(xc.dtype)
+                else:
+                    step = jnp.asarray(lr, dtype=xc.dtype)
+                return iteration(g, xc, rows, choice, step)
+
+            return jax.lax.fori_loop(0, num_iters, body, x_loc)
+
+        return train
+
+    # -- public API ------------------------------------------------------------
+
+    def run_iteration(self, x, pool_ids, choice=None, step=None):
+        """One iteration with injected global-relabeled pool ids [S] (and
+        optional [P·n_loc, ns] pool choices) — the parity-test entry point."""
+        if step is None:
+            step = self.lr
+        pool_fn = self._build_pool_fn()
+        iteration = self._iteration
+
+        def one(g, x_loc, pool_g, ch, s):
+            rows = pool_fn(x_loc, pool_g)
+            return iteration(g, x_loc, rows, ch, s)
+
+        ch_spec = P() if choice is None else self.x_spec
+        sharded = jax.shard_map(
+            one,
+            mesh=self.mesh,
+            in_specs=(self._gspecs, self.x_spec, P(), ch_spec, P()),
+            out_specs=self.x_spec,
+            check_vma=False,
+        )
+        ch = None if choice is None else jnp.asarray(choice, dtype=jnp.int32)
+        return sharded(
+            self._garr,
+            jnp.asarray(x),
+            jnp.asarray(pool_ids, dtype=jnp.int32),
+            ch,
+            jnp.asarray(step, dtype=self._dtype),
+        )
+
+    def train(
+        self,
+        iters: int = 1200,
+        seed: int = 1,
+        x0: Optional[np.ndarray] = None,
+    ) -> np.ndarray:
+        x = self.pad_embedding(x0) if x0 is not None else self.init_embedding(seed)
+        key = jax.random.PRNGKey(seed)
+        x = self._train_jit(self._garr, x, key, iters, 0)
+        return self.unpad_embedding(x)

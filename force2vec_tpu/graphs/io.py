@@ -193,3 +193,56 @@ def read_embeddings(path: str) -> np.ndarray:
     ids = data[:, 0].astype(np.int64) - 1
     emb[ids] = data[:, 1:].astype(np.float32)
     return emb
+
+
+def read_embeddings_binary(path: str, dim: int) -> np.ndarray:
+    """Raw float32 [n, dim] dump (readBinEmbeddings,
+    performancescores/runnodeclassclust.py:81-99)."""
+    flat = np.fromfile(path, dtype=np.float32)
+    return flat.reshape(-1, int(dim))
+
+
+def read_embeddings_hope(path: str) -> np.ndarray:
+    """HOPE text output: one header line, then whitespace-separated rows in
+    vertex order (readEmbeddingsHOPE, runnodeclassclust.py:35-50)."""
+    with open(path, "r") as f:
+        f.readline()
+        rows = [
+            [float(t) for t in line.split()] for line in f if line.strip()
+        ]
+    return np.asarray(rows, dtype=np.float32)
+
+
+def read_embeddings_rolx(path: str) -> np.ndarray:
+    """ROLX CSV output: one header line, then comma-separated rows in vertex
+    order (readEmbeddingsROLX, runnodeclassclust.py:18-33)."""
+    with open(path, "r") as f:
+        f.readline()
+        rows = [
+            [float(t) for t in line.strip().split(",")] for line in f if line.strip()
+        ]
+    return np.asarray(rows, dtype=np.float32)
+
+
+def read_embeddings_harp(path: str) -> np.ndarray:
+    """HARP ``.npy`` dump (readEmbeddingsHARP, runnodeclassclust.py:52-55)."""
+    return np.asarray(np.load(path), dtype=np.float32)
+
+
+def read_embeddings_any(path: str, fmt: int = 1, dim: int = 0) -> np.ndarray:
+    """Dispatch on the reference eval scripts' embedding-format option codes
+    (runnodeclassclust.py:233-245): 1 = Force2Vec text ``.embd``, 3 = HOPE,
+    4 = ROLX CSV, 5 = HARP ``.npy``, anything else = raw float32 binary
+    (needs ``dim``).  This makes the eval suite double as a comparison
+    harness against other embedding tools, like the reference's."""
+    if fmt == 1:
+        return read_embeddings(path)
+    if fmt == 3:
+        return read_embeddings_hope(path)
+    if fmt == 4:
+        return read_embeddings_rolx(path)
+    if fmt == 5:
+        return read_embeddings_harp(path)
+    if dim <= 0:
+        raise ValueError("binary embedding format needs dim > 0")
+    return read_embeddings_binary(path, dim)

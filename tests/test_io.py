@@ -138,3 +138,23 @@ def test_native_loader_matches_numpy_edgelist(tmp_path):
     assert g.n == ref.n and g.nnz == ref.nnz
     np.testing.assert_array_equal(g.rowptr, ref.rowptr)
     np.testing.assert_array_equal(g.colids, ref.colids)
+
+
+def test_third_party_embedding_readers(tmp_path):
+    """Format option codes of the reference eval scripts
+    (runnodeclassclust.py:233-245): 3=HOPE, 4=ROLX, 5=HARP, else binary."""
+    from force2vec_tpu.graphs.io import read_embeddings_any
+
+    x = np.arange(15, dtype=np.float32).reshape(5, 3) / 7.0
+    p = tmp_path / "h.txt"
+    p.write_text("5 3\n" + "\n".join(" ".join(map(str, r)) for r in x))
+    np.testing.assert_allclose(read_embeddings_any(str(p), 3), x, rtol=1e-6)
+    p = tmp_path / "r.csv"
+    p.write_text("a,b,c\n" + "\n".join(",".join(map(str, r)) for r in x))
+    np.testing.assert_allclose(read_embeddings_any(str(p), 4), x, rtol=1e-6)
+    p = tmp_path / "x.npy"
+    np.save(p, x)
+    np.testing.assert_allclose(read_embeddings_any(str(p), 5), x)
+    p = tmp_path / "x.bin"
+    x.tofile(p)
+    np.testing.assert_allclose(read_embeddings_any(str(p), 2, dim=3), x)

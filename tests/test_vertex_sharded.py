@@ -1,0 +1,125 @@
+"""Vertex-sharded (halo-exchange) mode tests.
+
+The layout test reconstructs the adjacency from the remapped per-shard ELL
+tables + send lists — the halo indirection must be lossless.  The parity
+tests assert the sharded step is numerically the epoch-synchronous step
+(shared-negative mode is exact; SURVEY.md §4 parity-by-injected-samples)."""
+
+import jax
+import numpy as np
+import pytest
+
+from force2vec_tpu.dist.vertex_sharded import VertexShardedForce2Vec, make_vp_mesh
+from force2vec_tpu.graphs.partition import VertexShardLayout
+from force2vec_tpu.train.sync import SyncForce2Vec
+from force2vec_tpu.train.trainer import TrainConfig
+
+DIM = 16
+NS = 4
+
+
+def _edges_from_layout(graph, lay):
+    """Recover the (src_g, dst_g) edge multiset from the sharded tables."""
+    P, n_loc, H = lay.n_shards, lay.n_loc, lay.halo_width
+    # inverse of (shard, lrow) -> g
+    g_of = np.full((P, n_loc), -1, dtype=np.int64)
+    g_of[lay.shard_of, lay.lrow_of] = np.arange(lay.n)
+    edges = []
+    for p in range(P):
+        def resolve(idx):
+            idx = np.asarray(idx, dtype=np.int64)
+            out = np.empty_like(idx)
+            local = idx < n_loc
+            out[local] = g_of[p, idx[local]]
+            rem = ~local
+            q = (idx[rem] - n_loc) // H
+            t = (idx[rem] - n_loc) % H
+            out[rem] = g_of[q, lay.send_idx[q, p, t]]
+            return out
+
+        for b in lay.buckets:
+            nbr, dg = b.nbr[p], b.deg[p]
+            for r in range(b.count):
+                if dg[r] == 0:
+                    continue
+                if b.owners is None:
+                    src = g_of[p, b.start_local + r]
+                else:
+                    src = g_of[p, b.start_local + b.owners[p, r]]
+                for dst in resolve(nbr[r, : dg[r]]):
+                    edges.append((src, dst))
+    return sorted(edges)
+
+
+def test_layout_reconstructs_adjacency(small_graph):
+    lay = VertexShardLayout.build(small_graph, 4, min_width=4, hub_width=8)
+    got = _edges_from_layout(small_graph, lay)
+    inv = lay.inv_perm
+    want = []
+    for v in range(small_graph.n):
+        for e in range(small_graph.rowptr[v], small_graph.rowptr[v + 1]):
+            want.append((int(inv[v]), int(inv[small_graph.colids[e]])))
+    assert got == sorted(want)
+
+
+def _parity(graph, model, n_dev, iters=3, sampling="shared"):
+    cfg = TrainConfig(dim=DIM, model=model, ns=NS, per_vertex_samples=False)
+    sync = SyncForce2Vec(graph, cfg, min_width=4, hub_width=16)
+    mesh = make_vp_mesh(jax.devices()[:n_dev])
+    vfv = VertexShardedForce2Vec(
+        graph, cfg, mesh=mesh, min_width=4, hub_width=16, sampling=sampling
+    )
+
+    rng = np.random.default_rng(7)
+    x_host = rng.standard_normal((graph.n, DIM)).astype(np.float32) * 0.1
+
+    xs = sync.pad_embedding(x_host)
+    xv = vfv.pad_embedding(x_host)
+    for it in range(iters):
+        pool = rng.integers(0, graph.n - 1, size=NS).astype(np.int32)
+        negs = np.broadcast_to(pool, (sync.layout.n_pad, NS))
+        xs = sync.run_iteration(xs, negs)
+        xv = vfv.run_iteration(xv, pool)
+    return sync.unpad_embedding(xs), vfv.unpad_embedding(xv)
+
+
+@pytest.mark.parametrize("n_dev", [1, 4, 8])
+def test_vertex_sharded_matches_sync_tdist(small_graph, n_dev):
+    want, got = _parity(small_graph, "tdist", n_dev)
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.parametrize("model", ["sigmoid", "fr", "linlog", "forceatlas"])
+def test_vertex_sharded_matches_sync_other_models(small_graph, model):
+    want, got = _parity(small_graph, model, n_dev=4)
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+def test_pool_sampling_trains(small_graph):
+    cfg = TrainConfig(dim=DIM, model="tdist", ns=NS)
+    mesh = make_vp_mesh(jax.devices()[:4])
+    vfv = VertexShardedForce2Vec(
+        small_graph, cfg, mesh=mesh, min_width=4, hub_width=16,
+        sampling="pool", neg_pool=16,
+    )
+    out = vfv.train(iters=5, seed=1)
+    assert out.shape == (small_graph.n, DIM)
+    assert np.all(np.isfinite(out))
+
+
+def test_train_end_to_end_shared(small_graph):
+    cfg = TrainConfig(dim=DIM, model="sigmoid", ns=NS)
+    vfv = VertexShardedForce2Vec(
+        small_graph, cfg, mesh=make_vp_mesh(jax.devices()), min_width=4, hub_width=16
+    )
+    out = vfv.train(iters=5, seed=2)
+    assert out.shape == (small_graph.n, DIM)
+    assert np.all(np.isfinite(out))
+
+
+def test_rejects_walk_model(small_graph):
+    with pytest.raises(NotImplementedError):
+        VertexShardedForce2Vec(
+            small_graph, TrainConfig(dim=DIM, model="rwalk"),
+            mesh=make_vp_mesh(jax.devices()[:2]),
+        )
