@@ -55,7 +55,11 @@ def main():
     warmup = int(os.environ.get("BENCH_WARMUP", 10))
 
     graph = synth_powerlaw_graph(n=n, avg_deg=avg_deg)
-    cfg = TrainConfig(dim=128, model="tdist", ns=5, per_vertex_samples=True)
+    gather_dtype = os.environ.get("BENCH_GATHER_DTYPE") or None
+    cfg = TrainConfig(
+        dim=128, model="tdist", ns=5, per_vertex_samples=True,
+        gather_dtype=gather_dtype,
+    )
     # few, wide buckets: keeps the XLA program small — compile through the
     # remote-TPU tunnel is the scarce resource, not device time
     fv = SyncForce2Vec(graph, cfg, min_width=16, hub_width=128)

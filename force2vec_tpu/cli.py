@@ -51,10 +51,18 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--tp", type=int, default=1, help="tensor-parallel width")
     p.add_argument(
         "--schedule",
-        choices=["batch", "sync"],
+        choices=["batch", "sync", "vertex"],
         default="batch",
         help="batch: reference batch-sequential semantics; sync: epoch-"
-        "synchronous throughput schedule (= reference at batch_size=n)",
+        "synchronous throughput schedule (= reference at batch_size=n); "
+        "vertex: X vertex-sharded over all devices with halo exchange "
+        "(scale-out mode for tables beyond one chip's HBM)",
+    )
+    p.add_argument(
+        "--gather-dtype",
+        default=None,
+        help="low-precision replica dtype for neighbor gathers (e.g. "
+        "bfloat16) — halves HBM gather traffic on the sync schedule",
     )
     p.add_argument("--verbose", action="store_true")
     return p
@@ -75,6 +83,7 @@ def main(argv=None) -> int:
         ns=args.nsamples,
         lr=args.lr,
         per_vertex_samples=(args.bs == 1),
+        gather_dtype=args.gather_dtype,
     )
     fv = Force2Vec(graph, cfg)
     print(
@@ -91,7 +100,18 @@ def main(argv=None) -> int:
         print(f"resumed from {args.resume} at iteration {start_iter}")
 
     t0 = time.perf_counter()
-    if args.schedule == "sync" and args.devices <= 1:
+    if args.schedule == "vertex":
+        import jax
+
+        from force2vec_tpu.dist.vertex_sharded import (
+            VertexShardedForce2Vec,
+            make_vp_mesh,
+        )
+
+        devs = jax.devices()[: args.devices] if args.devices > 0 else None
+        vfv = VertexShardedForce2Vec(graph, cfg, mesh=make_vp_mesh(devs))
+        emb = vfv.train(args.iter, seed=args.seed, x0=x0)
+    elif args.schedule == "sync" and args.devices <= 1:
         from force2vec_tpu.train.sync import SyncForce2Vec
 
         sfv = SyncForce2Vec(graph, cfg)

@@ -152,8 +152,12 @@ class SyncForce2Vec:
         # reduces over the full embedding dim locally.
         use_pallas = self.use_pallas and spmd.n_tp == 1
 
+        gdt = None if cfg.gather_dtype is None else jnp.dtype(cfg.gather_dtype)
+
         def force_sum(kind, xi, xj, dg, invd, step):
             """Masked force sum over the K axis: Pallas kernel or jnp."""
+            if xj.dtype != xi.dtype:  # low-precision gather replica
+                xj = xj.astype(xi.dtype)
             if use_pallas:
                 from force2vec_tpu.ops.pallas_force import ell_force
 
@@ -181,7 +185,7 @@ class SyncForce2Vec:
                 return part_local
             return jax.lax.all_gather(part_local, dp_axis, axis=0, tiled=True)
 
-        def attraction(g, x, step):
+        def attraction(g, x, xg, step):
             """Σ_buckets masked ELL force — returns the [n_pad, dim] update."""
             parts = []
             for bi, width, start, count, real, is_hub in bucket_meta:
@@ -198,7 +202,7 @@ class SyncForce2Vec:
                 else:
                     xi = jax.lax.dynamic_slice(x, (start + r0, 0), (local, dim))
                     invd = jax.lax.dynamic_slice(g["inv_deg"], (start + r0,), (local,))
-                xj = jnp.take(x, nbr.reshape(-1), axis=0).reshape(local, width, dim)
+                xj = jnp.take(xg, nbr.reshape(-1), axis=0).reshape(local, width, dim)
                 part = force_sum("edge", xi, xj, dg, invd, step)
                 part = gathered(part)  # [count, dim] on every rank
                 if is_hub:
@@ -210,33 +214,34 @@ class SyncForce2Vec:
                 parts.append(jnp.zeros((n_pad - n, dim), dtype=x.dtype))
             return jnp.concatenate(parts, axis=0)
 
-        def attraction_walk(g, x, walks, step):
+        def attraction_walk(g, x, xg, walks, step):
             local, off = shard_rows(n_pad)
             r0 = off()
             wb = jax.lax.dynamic_slice(walks, (r0, 0), (local, wl))
             xi = jax.lax.dynamic_slice(x, (r0, 0), (local, dim))
             invd = jax.lax.dynamic_slice(g["inv_deg"], (r0,), (local,))
-            xj = jnp.take(x, wb.reshape(-1), axis=0).reshape(local, wl, dim)
+            xj = jnp.take(xg, wb.reshape(-1), axis=0).reshape(local, wl, dim)
             full = jnp.full((local,), wl, dtype=jnp.int32)
             return gathered(force_sum("edge", xi, xj, full, invd, step))
 
-        def repulsion(x, negs, step):
+        def repulsion(x, xg, negs, step):
             local, off = shard_rows(n_pad)
             r0 = off()
             nb = jax.lax.dynamic_slice(negs, (r0, 0), (local, ns))
             xi = jax.lax.dynamic_slice(x, (r0, 0), (local, dim))
-            s = jnp.take(x, nb.reshape(-1), axis=0).reshape(local, ns, dim)
+            s = jnp.take(xg, nb.reshape(-1), axis=0).reshape(local, ns, dim)
             full = jnp.full((local,), ns, dtype=jnp.int32)
             invd0 = jnp.zeros((local,), dtype=x.dtype)
             return gathered(force_sum("sample", xi, s, full, invd0, step))
 
         def iteration(garr, x, negs, walks, step):
             step = jnp.asarray(step, dtype=x.dtype)
+            xg = x if gdt is None else x.astype(gdt)
             if model.attraction == "walk":
-                upd = attraction_walk(garr, x, walks, step)
+                upd = attraction_walk(garr, x, xg, walks, step)
             else:
-                upd = attraction(garr, x, step)
-            upd = upd + repulsion(x, negs, step)
+                upd = attraction(garr, x, xg, step)
+            upd = upd + repulsion(x, xg, negs, step)
             if model.update == "energy":
                 fnorm = rsum(upd * upd)
                 safe = jnp.where(fnorm > 0, fnorm, 1.0)

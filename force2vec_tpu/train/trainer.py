@@ -63,6 +63,12 @@ class TrainConfig:
     rep_chunk: int = 512  # row-tile for exact O(n²) repulsion
     segment_mode: str = "matmul"  # 'matmul' (MXU) | 'scatter'
     dtype: str = "float32"
+    # Mixed-precision gathers (sync schedule): keep X in ``dtype`` for the
+    # exact SGD apply, but feed the random neighbor/sample gathers — the
+    # HBM-bandwidth-bound core (SURVEY.md §3.2) — from a low-precision
+    # replica cast once per iteration.  'bfloat16' halves gather traffic;
+    # force math still runs in ``dtype``.  None disables the replica.
+    gather_dtype: Optional[str] = None
 
     def resolve_lr(self, model: ForceModel) -> float:
         return model.default_lr if self.lr is None else self.lr

@@ -56,3 +56,24 @@ def test_golden_embedding_scale(golden_emb, ours_emb):
     g_scale = np.abs(golden_emb).mean()
     o_scale = np.abs(ours_emb).mean()
     assert 0.1 < o_scale / g_scale < 10.0, (o_scale, g_scale)
+
+
+def test_bf16_gather_quality_parity(cora, golden_emb):
+    """The mixed-precision gather replica (gather_dtype='bfloat16') must
+    reach golden-level downstream quality — it changes only the precision
+    of gathered neighbor rows, not the SGD semantics."""
+    from force2vec_tpu.train.sync import SyncForce2Vec
+
+    fv = SyncForce2Vec(
+        cora,
+        TrainConfig(
+            dim=128, model="tdist", ns=5, per_vertex_samples=True,
+            gather_dtype="bfloat16",
+        ),
+        min_width=4,
+        hub_width=32,
+    )
+    ours = fv.train(iters=600, seed=1)
+    g = link_prediction_scores(cora, golden_emb, seed=0)
+    o = link_prediction_scores(cora, ours, seed=0)
+    assert o["auc"] >= g["auc"] - 0.02, (o, g)
