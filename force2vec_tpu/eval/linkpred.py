@@ -25,6 +25,23 @@ import numpy as np
 from force2vec_tpu.graphs.csr import Graph
 
 
+def _is_edge(graph: Graph, u: np.ndarray, v: np.ndarray) -> np.ndarray:
+    """Vectorized CSR membership test: True where (u, v) is an edge.
+
+    Per-row binary search over the row-sorted colids, phrased as one
+    ``searchsorted`` against the composite key ``u·n + v`` (monotone because
+    the CSR is sorted by row then column, Graph.from_coo).  O(q·log nnz)
+    with no Python loops — usable at com-Orkut scale, unlike a Python edge
+    set (the reference's networkx ``G.has_edge`` equivalent)."""
+    n = np.int64(graph.n)
+    src = np.repeat(np.arange(graph.n, dtype=np.int64), graph.degrees)
+    keys = src * n + graph.colids.astype(np.int64)
+    q = u.astype(np.int64) * n + v.astype(np.int64)
+    pos = np.searchsorted(keys, q)
+    pos = np.minimum(pos, len(keys) - 1) if len(keys) else pos
+    return (len(keys) > 0) & (keys[pos] == q)
+
+
 def _edge_features(xu: np.ndarray, xv: np.ndarray, dist: str) -> np.ndarray:
     if dist == "hadamard":
         return xu * xv
@@ -57,15 +74,12 @@ def make_link_prediction_data(
     pos_per_u = np.bincount(pu, minlength=n)
     want = np.minimum(2 * pos_per_u, np.maximum((n - deg) // 2, 0))
     nu = np.repeat(np.arange(n), want)
-    # rejection sampling in rounds: draw, drop hits on adjacency, redraw
-    adj = set(zip(src.tolist(), dst.tolist()))
+    # rejection sampling in rounds: draw, drop hits on adjacency, redraw —
+    # membership is a vectorized binary search (scales to com-Orkut, unlike
+    # a Python edge set)
     nv = rng.integers(0, n, size=nu.shape[0])
     for _ in range(30):
-        bad = np.fromiter(
-            ((int(u), int(v)) in adj or u == v for u, v in zip(nu, nv)),
-            dtype=bool,
-            count=len(nu),
-        )
+        bad = _is_edge(graph, nu, nv) | (nu == nv)
         if not bad.any():
             break
         nv[bad] = rng.integers(0, n, size=int(bad.sum()))

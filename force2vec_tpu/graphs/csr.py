@@ -91,11 +91,12 @@ class Graph:
         sample/CSR.h:430-447). Training never needs it; provided for
         completeness."""
         rng = np.random.default_rng(seed)
-        colids = self.colids.copy()
-        for i in range(self.n):
-            s, e = self.rowptr[i], self.rowptr[i + 1]
-            rng.shuffle(colids[s:e])
-        return Graph(self.n, self.rowptr.copy(), colids, self.values)
+        rows = np.repeat(np.arange(self.n, dtype=np.int64), self.degrees)
+        # random sort key within each row: lexsort is stable on rows, so
+        # the per-row order is an independent uniform shuffle
+        order = np.lexsort((rng.random(self.nnz), rows))
+        values = self.values[order] if self.values is not None else None
+        return Graph(self.n, self.rowptr.copy(), self.colids[order], values)
 
     def induced_subgraph(self, nodes: np.ndarray) -> "Graph":
         """CSR of the subgraph induced by ``nodes`` (relabeled 0..k-1).
@@ -116,12 +117,17 @@ class Graph:
 
     def is_sorted(self) -> bool:
         """Row-wise sortedness check (parity with CSR::Sorted,
-        used by the driver at Test/Force2Vec.cpp:123)."""
-        for i in range(self.n):
-            s, e = self.rowptr[i], self.rowptr[i + 1]
-            if e - s > 1 and np.any(np.diff(self.colids[s:e]) < 0):
-                return False
-        return True
+        used by the driver at Test/Force2Vec.cpp:123).  Vectorized: a
+        decrease in colids is only allowed at a row boundary."""
+        if self.nnz < 2:
+            return True
+        dec = np.flatnonzero(self.colids[1:].astype(np.int64)
+                             < self.colids[:-1].astype(np.int64)) + 1
+        if not len(dec):
+            return True
+        # every decrease position must be some row's first edge
+        starts = self.rowptr[1:-1]  # interior row starts
+        return bool(np.all(np.isin(dec, starts)))
 
 
 def _round_up(x: int, m: int) -> int:

@@ -175,13 +175,24 @@ def load_graph(path: str, **kwargs) -> Graph:
 
 def write_embeddings(path: str, emb: np.ndarray) -> None:
     """Write a text ``.embd`` file: ``N D`` header then ``id+1 v…`` rows
-    (schema of algorithms::writeToFile, sample/algorithms.h:118-136)."""
-    emb = np.asarray(emb)
+    (schema of algorithms::writeToFile, sample/algorithms.h:118-136).
+
+    Uses the native OpenMP writer (graphs/native.py) when available —
+    per-row Python formatting is minutes at com-Orkut scale; the numpy
+    fallback below batches the formatting through ``np.savetxt``."""
+    emb = np.asarray(emb, dtype=np.float32)
     n, d = emb.shape
+    if _native_enabled():
+        from force2vec_tpu.graphs.native import write_embd_native
+
+        if write_embd_native(path, emb):
+            return
     with open(path, "w") as f:
         f.write(f"{n} {d}\n")
-        for i in range(n):
-            f.write(str(i + 1) + " " + " ".join("%.6g" % v for v in emb[i]) + " \n")
+        body = np.concatenate(
+            [np.arange(1, n + 1, dtype=np.float32)[:, None], emb], axis=1
+        )
+        np.savetxt(f, body, fmt=["%d"] + ["%.6g"] * d, newline=" \n")
 
 
 def read_embeddings(path: str) -> np.ndarray:

@@ -70,6 +70,13 @@ def get_lib() -> Optional[ctypes.CDLL]:
         lib.graphio_values.argtypes = [ctypes.c_void_p]
         lib.graphio_free.restype = None
         lib.graphio_free.argtypes = [ctypes.c_void_p]
+        lib.graphio_write_embd.restype = ctypes.c_int32
+        lib.graphio_write_embd.argtypes = [
+            ctypes.c_char_p,
+            np.ctypeslib.ndpointer(dtype=np.float32, ndim=2, flags="C_CONTIGUOUS"),
+            ctypes.c_int64,
+            ctypes.c_int64,
+        ]
         _lib = lib
         return _lib
 
@@ -100,6 +107,16 @@ def load_mtx_native(path: str):
     if not handle:
         return None
     return _extract(lib, handle)
+
+
+def write_embd_native(path: str, emb: np.ndarray) -> bool:
+    """Native parallel text .embd writer. Returns False if the native
+    library is unavailable (caller falls back to numpy)."""
+    lib = get_lib()
+    if lib is None:
+        return False
+    emb = np.ascontiguousarray(emb, dtype=np.float32)
+    return lib.graphio_write_embd(path.encode(), emb, emb.shape[0], emb.shape[1]) == 0
 
 
 def load_edgelist_native(
