@@ -62,7 +62,15 @@ def build_parser() -> argparse.ArgumentParser:
         "--gather-dtype",
         default=None,
         help="low-precision replica dtype for neighbor gathers (e.g. "
-        "bfloat16) — halves HBM gather traffic on the sync schedule",
+        "bfloat16) — halves HBM gather traffic; implemented on the sync "
+        "schedule (a warning is printed if another schedule ignores it)",
+    )
+    p.add_argument(
+        "--neg-pool",
+        type=int,
+        default=128,
+        help="vertex schedule: global negative-sample pool size used when "
+        "-bs 1 requests per-vertex negatives",
     )
     p.add_argument("--verbose", action="store_true")
     return p
@@ -91,6 +99,13 @@ def main(argv=None) -> int:
         f"dim={cfg.dim} batch={fv.dg.batch_size} ns={cfg.ns} lr={fv.lr}"
     )
 
+    if args.gather_dtype and args.schedule != "sync":
+        print(
+            f"warning: --gather-dtype is implemented on the sync schedule; "
+            f"schedule={args.schedule!r} ignores it",
+            file=sys.stderr,
+        )
+
     x0 = None
     start_iter = 0
     if args.resume:
@@ -99,7 +114,9 @@ def main(argv=None) -> int:
         x0, start_iter = load_checkpoint(args.resume)
         print(f"resumed from {args.resume} at iteration {start_iter}")
 
-    t0 = time.perf_counter()
+    # Build the schedule runner.  Every runner speaks the same protocol
+    # (_train_jit / pad / init / unpad), so checkpointing and resume work
+    # uniformly across schedules.
     if args.schedule == "vertex":
         import jax
 
@@ -109,13 +126,13 @@ def main(argv=None) -> int:
         )
 
         devs = jax.devices()[: args.devices] if args.devices > 0 else None
-        vfv = VertexShardedForce2Vec(graph, cfg, mesh=make_vp_mesh(devs))
-        emb = vfv.train(args.iter, seed=args.seed, x0=x0)
-    elif args.schedule == "sync" and args.devices <= 1:
-        from force2vec_tpu.train.sync import SyncForce2Vec
-
-        sfv = SyncForce2Vec(graph, cfg)
-        emb = sfv.train(args.iter, seed=args.seed, x0=x0, verbose=args.verbose)
+        # -bs 1 (per-vertex negatives) maps to the pool sampling mode — the
+        # static-shape scale-out flavor of per-vertex sampling
+        sampling = "pool" if args.bs == 1 else "shared"
+        runner = VertexShardedForce2Vec(
+            graph, cfg, mesh=make_vp_mesh(devs), sampling=sampling,
+            neg_pool=args.neg_pool,
+        )
     elif args.devices > 1:
         import jax
 
@@ -125,26 +142,37 @@ def main(argv=None) -> int:
         if args.schedule == "sync":
             from force2vec_tpu.dist.sharded import ShardedSyncForce2Vec
 
-            emb = ShardedSyncForce2Vec(graph, cfg, mesh).train(
-                args.iter, seed=args.seed, x0=x0
-            )
+            runner = ShardedSyncForce2Vec(graph, cfg, mesh)
         else:
-            emb = ShardedForce2Vec(fv, mesh).train(args.iter, seed=args.seed, x0=x0)
-    elif args.checkpoint_every > 0:
+            runner = ShardedForce2Vec(fv, mesh)
+    elif args.schedule == "sync":
+        from force2vec_tpu.train.sync import SyncForce2Vec
+
+        runner = SyncForce2Vec(graph, cfg)
+    else:
+        runner = fv
+
+    t0 = time.perf_counter()
+    if args.checkpoint_every > 0 or args.resume:
         from force2vec_tpu.train.checkpoint import train_with_checkpoints
 
         emb = train_with_checkpoints(
-            fv,
+            runner,
             iters=args.iter,
             seed=args.seed,
             x0=x0,
             start_iter=start_iter,
-            every=args.checkpoint_every,
+            every=args.checkpoint_every or args.iter,
             ckpt_dir=args.checkpoint_dir or (args.output or "."),
             verbose=args.verbose,
         )
     else:
-        emb = fv.train(args.iter, seed=args.seed, x0=x0, verbose=args.verbose)
+        import inspect
+
+        kw = {}
+        if "verbose" in inspect.signature(runner.train).parameters:
+            kw["verbose"] = args.verbose
+        emb = runner.train(args.iter, seed=args.seed, x0=x0, **kw)
     train_s = time.perf_counter() - t0
 
     # output name parity: <graph><ALGO><B>D<D>IT<it>NS<ns>.embd

@@ -81,6 +81,28 @@ class ShardedForce2Vec:
         layout."""
         return jax.device_put(x, NamedSharding(self.mesh, self.x_spec))
 
+    # runner protocol (train_with_checkpoints works on any schedule)
+    @property
+    def graph(self):
+        return self.fv.graph
+
+    @property
+    def config(self):
+        return self.fv.config
+
+    @property
+    def _garr(self):
+        return self.fv._garr
+
+    def init_embedding(self, seed: int = 1) -> jax.Array:
+        return self.shard_embedding(self.fv.init_embedding(seed))
+
+    def pad_embedding(self, x) -> jax.Array:
+        return self.shard_embedding(self.fv.pad_embedding(x))
+
+    def unpad_embedding(self, x) -> np.ndarray:
+        return self.fv.unpad_embedding(x)
+
     def train(
         self,
         iters: int,
@@ -89,12 +111,11 @@ class ShardedForce2Vec:
     ) -> np.ndarray:
         """Train and return the [n, D] embedding (padding stripped)."""
         fv = self.fv
-        x = fv.pad_embedding(x0) if x0 is not None else fv.init_embedding(seed)
-        x = self.shard_embedding(x)
+        x = self.pad_embedding(x0) if x0 is not None else self.init_embedding(seed)
         key = jax.random.PRNGKey(seed)
         x = self._train_jit(fv._garr, x, key, iters, 0)
         x.block_until_ready()
-        return np.asarray(x[: fv.graph.n])
+        return self.unpad_embedding(x)
 
 
 class ShardedSyncForce2Vec:
@@ -135,10 +156,33 @@ class ShardedSyncForce2Vec:
         )
         self._train_jit = jax.jit(sharded, donate_argnums=(1,))
 
+    # runner protocol (train_with_checkpoints works on any schedule)
+    @property
+    def graph(self):
+        return self.fv.graph
+
+    @property
+    def config(self):
+        return self.fv.config
+
+    @property
+    def _garr(self):
+        return self.fv._garr
+
+    def init_embedding(self, seed: int = 1) -> jax.Array:
+        x = self.fv.init_embedding(seed)
+        return jax.device_put(x, NamedSharding(self.mesh, self.x_spec))
+
+    def pad_embedding(self, x) -> jax.Array:
+        x = self.fv.pad_embedding(x)
+        return jax.device_put(x, NamedSharding(self.mesh, self.x_spec))
+
+    def unpad_embedding(self, x) -> np.ndarray:
+        return self.fv.unpad_embedding(x)
+
     def train(self, iters: int, seed: int = 1, x0: Optional[np.ndarray] = None):
         fv = self.fv
-        x = fv.pad_embedding(x0) if x0 is not None else fv.init_embedding(seed)
-        x = jax.device_put(x, NamedSharding(self.mesh, self.x_spec))
+        x = self.pad_embedding(x0) if x0 is not None else self.init_embedding(seed)
         key = jax.random.PRNGKey(seed)
         x = self._train_jit(fv._garr, x, key, iters, 0)
-        return fv.unpad_embedding(x)
+        return self.unpad_embedding(x)

@@ -48,7 +48,9 @@ class ShardBucket:
     width: int
     start_local: int  # first local row of this bucket (same on all shards)
     count: int  # rows per shard (virtual rows for the hub bucket)
-    real_count: int  # real (non-padding) local rows per shard for non-hub
+    real_count: int  # local rows this bucket COVERS in the update concat:
+    # the padded per-shard row count (non-hub: == count; hub: the padded
+    # count of real owner rows, which the hub segment-sum reduces into)
     nbr: np.ndarray  # [P, count, width] int32 indices into [local ∪ halo]
     deg: np.ndarray  # [P, count] int32 valid neighbors per row
     owners: np.ndarray | None = None  # [P, count] int32 offsets into hub range
@@ -134,15 +136,22 @@ class VertexShardLayout:
 
         # --- per-shard halo: distinct remote neighbor ids ------------------
         # Collect each shard's remote neighbor set from the CSR directly.
+        # Edges are grouped by home shard ONCE (argsort) instead of P
+        # full-edge masks — O(nnz log nnz) total, not O(P·nnz).
         col_g = inv_perm[graph.colids]  # every edge's target, global row id
         src_g = inv_perm[
             np.repeat(np.arange(n, dtype=np.int64), graph.degrees.astype(np.int64))
         ]
         edge_home = shard_of[src_g]
         remote = shard_of[col_g] != edge_home
-        need = {}  # p -> sorted-unique remote global rows, ordered (q, lrow)
+        rcol = col_g[remote]
+        rhome = edge_home[remote]
+        horder = np.argsort(rhome, kind="stable")
+        rcol = rcol[horder]
+        bounds = np.searchsorted(rhome[horder], np.arange(P + 1))
+        need = {}  # p -> distinct remote global rows, ordered (q, lrow)
         for p in range(P):
-            u = np.unique(col_g[remote & (edge_home == p)])
+            u = np.unique(rcol[bounds[p] : bounds[p + 1]])
             order = np.lexsort((lrow_of[u], shard_of[u]))
             need[p] = u[order]
         # per-(q, p) lists share one static width: H covers the worst pair
@@ -154,23 +163,23 @@ class VertexShardLayout:
         H = _round_up(pair_max, 8)
 
         send_idx = np.zeros((P, P, H), dtype=np.int32)
-        # remap[p]: global row -> index into [x_loc ; halo] for shard p.
-        # Rows a shard neither owns nor needs keep the harmless default 0
-        # (only ELL padding slots, masked by deg, ever point at them).
-        remap = np.zeros((P, n), dtype=np.int32)
-        remap[shard_of, np.arange(n)] = lrow_of
         for p in range(P):
             u = need[p]
             qs = shard_of[u]
             # slot within the (q -> p) list
             t = np.arange(len(u)) - np.searchsorted(qs, qs, side="left")
-            remap[p, u] = n_loc + qs * H + t
             send_idx[qs, p, t] = lrow_of[u]
 
         # --- per-shard ELL buckets in the remapped index space -------------
+        # One REUSABLE [n] remap buffer (global row -> index into
+        # [x_loc ; halo] for the current shard) instead of a dense [P, n]
+        # table: O(n) memory however many shards.  Rows a shard neither owns
+        # nor needs keep the harmless default 0 (only ELL padding slots,
+        # masked by deg, ever point at them).
         rowptr = graph.rowptr
+        remap1 = np.zeros(n, dtype=np.int32)
 
-        def fill(rows_g: np.ndarray, width: int, out_nbr, out_deg, p: int):
+        def fill(rows_g: np.ndarray, width: int, out_nbr, out_deg):
             """Fill ELL rows (already ≤ width) for global rows ``rows_g``."""
             lens = deg_sorted[rows_g].astype(np.int64)
             total = int(lens.sum())
@@ -179,28 +188,24 @@ class VertexShardLayout:
                 row_of = np.repeat(np.arange(len(rows_g)), lens)
                 within = np.arange(total) - np.repeat(np.cumsum(lens) - lens, lens)
                 flat = rowptr[perm[rows_g]][row_of] + within
-                out_nbr[row_of, within] = remap[p, inv_perm[graph.colids[flat]]]
+                out_nbr[row_of, within] = remap1[inv_perm[graph.colids[flat]]]
 
+        # allocate all bucket arrays, then fill shard-by-shard
         buckets = []
         padded_edges = 0
         for bi, (w, i0, j0, cps) in enumerate(ranges):
-            nbr = np.zeros((P, cps, w), dtype=np.int32)
-            dg = np.zeros((P, cps), dtype=np.int32)
-            for p in range(P):
-                rows_g = np.arange(i0 + p, j0, P)
-                fill(rows_g, w, nbr[p], dg[p], p)
-            real = (j0 - i0 + P - 1 - np.arange(P)) // P  # rows per shard
             buckets.append(
                 ShardBucket(
                     width=w,
                     start_local=starts[bi],
                     count=cps,
                     real_count=cps,
-                    nbr=nbr,
-                    deg=dg,
+                    nbr=np.zeros((P, cps, w), dtype=np.int32),
+                    deg=np.zeros((P, cps), dtype=np.int32),
                 )
             )
             padded_edges += P * cps * w
+        hub = None
         if hub_i < n:
             w = hub_width
             # virtual rows per shard: owner g contributes ceil(deg/w) rows
@@ -210,10 +215,32 @@ class VertexShardLayout:
                 lens = deg_sorted[rows_g].astype(np.int64)
                 per_shard.append((rows_g, lens, int((-(-lens // w)).sum())))
             vmax = _round_up(max(v for _, _, v in per_shard), row_align)
-            nbr = np.zeros((P, vmax, w), dtype=np.int32)
-            dg = np.zeros((P, vmax), dtype=np.int32)
-            owners = np.zeros((P, vmax), dtype=np.int32)
-            for p, (rows_g, lens, nv) in enumerate(per_shard):
+            hub = ShardBucket(
+                width=w,
+                start_local=hub_start_local,
+                count=vmax,
+                real_count=hub_cps,
+                nbr=np.zeros((P, vmax, w), dtype=np.int32),
+                deg=np.zeros((P, vmax), dtype=np.int32),
+                owners=np.zeros((P, vmax), dtype=np.int32),
+            )
+            padded_edges += P * vmax * w
+
+        for p in range(P):
+            remap1[:] = 0
+            own_g = np.flatnonzero(shard_of == p)
+            remap1[own_g] = lrow_of[own_g]
+            u = need[p]
+            qs = shard_of[u]
+            t = np.arange(len(u)) - np.searchsorted(qs, qs, side="left")
+            remap1[u] = n_loc + qs * H + t
+
+            for bi, (w, i0, j0, cps) in enumerate(ranges):
+                rows_g = np.arange(i0 + p, j0, P)
+                fill(rows_g, w, buckets[bi].nbr[p], buckets[bi].deg[p])
+            if hub is not None:
+                w = hub_width
+                rows_g, lens, nv = per_shard[p]
                 vcounts = -(-lens // w)
                 owners_v = np.repeat(rows_g, vcounts)
                 vidx = np.arange(nv) - np.repeat(np.cumsum(vcounts) - vcounts, vcounts)
@@ -222,21 +249,11 @@ class VertexShardLayout:
                 row_of = np.repeat(np.arange(nv), vdeg)
                 within = np.arange(total) - np.repeat(np.cumsum(vdeg) - vdeg, vdeg)
                 flat = rowptr[perm[owners_v]][row_of] + vidx[row_of] * w + within
-                nbr[p, row_of, within] = remap[p, inv_perm[graph.colids[flat]]]
-                dg[p, :nv] = vdeg
-                owners[p, :nv] = lrow_of[owners_v] - hub_start_local
-            buckets.append(
-                ShardBucket(
-                    width=w,
-                    start_local=hub_start_local,
-                    count=vmax,
-                    real_count=hub_cps,
-                    nbr=nbr,
-                    deg=dg,
-                    owners=owners,
-                )
-            )
-            padded_edges += P * vmax * w
+                hub.nbr[p, row_of, within] = remap1[inv_perm[graph.colids[flat]]]
+                hub.deg[p, :nv] = vdeg
+                hub.owners[p, :nv] = lrow_of[owners_v] - hub_start_local
+        if hub is not None:
+            buckets.append(hub)
 
         return VertexShardLayout(
             n=n,

@@ -37,7 +37,7 @@ def load_checkpoint(path: str) -> Tuple[np.ndarray, int]:
 
 
 def train_with_checkpoints(
-    fv,
+    runner,
     iters: int,
     seed: int = 1,
     x0: Optional[np.ndarray] = None,
@@ -49,23 +49,32 @@ def train_with_checkpoints(
 ) -> np.ndarray:
     """Train in ``every``-iteration spans, checkpointing after each span.
 
+    Works with ANY schedule runner (batch Force2Vec, SyncForce2Vec,
+    ShardedForce2Vec/ShardedSyncForce2Vec, VertexShardedForce2Vec): all
+    expose ``_train_jit(garr, x, key, num_iters, iter_offset)`` plus
+    ``pad_embedding / init_embedding / unpad_embedding``.  Checkpoints
+    store the CANONICAL host embedding ([n, D], original vertex order),
+    so a run checkpointed under one schedule can resume under another.
+
     The RNG stream is keyed by absolute iteration (jax.random.fold_in in
-    the train fn), so a resumed run continues the same sample sequence a
+    every train fn), so a resumed run continues the same sample sequence a
     straight run would have drawn.
     """
     import jax
 
-    x = fv.pad_embedding(x0) if x0 is not None else fv.init_embedding(seed)
+    x = runner.pad_embedding(x0) if x0 is not None else runner.init_embedding(seed)
     key = jax.random.PRNGKey(seed)
     done = start_iter
     paths = []
     while done < iters:
         k = min(every, iters - done)
-        x = fv._train_jit(fv._garr, x, key, k, done)
+        x = runner._train_jit(runner._garr, x, key, k, done)
         done += k
-        emb_host = np.asarray(x)
+        emb_host = runner.unpad_embedding(x)
         path = os.path.join(ckpt_dir, f"ckpt_{done:07d}.npz")
-        save_checkpoint(path, emb_host, done, {"seed": seed, "dim": fv.config.dim})
+        save_checkpoint(
+            path, emb_host, done, {"seed": seed, "dim": runner.config.dim}
+        )
         paths.append(path)
         if len(paths) > keep:
             old = paths.pop(0)
@@ -73,4 +82,4 @@ def train_with_checkpoints(
                 os.unlink(old)
         if verbose:
             print(f"checkpoint @ iter {done} -> {path}")
-    return np.asarray(x[: fv.graph.n])
+    return runner.unpad_embedding(x)

@@ -124,6 +124,11 @@ class Force2Vec:
         out[: self.graph.n] = x
         return jnp.asarray(out)
 
+    def unpad_embedding(self, x) -> np.ndarray:
+        """Device [n_pad, D] → host [n, D] (the batch layout keeps original
+        vertex order; padding rows are simply dropped)."""
+        return np.asarray(x)[: self.graph.n]
+
     # -- single iteration (exposed for parity tests) ------------------------
 
     def _build_iteration_fn(self, spmd: SpmdAxes = SpmdAxes()):

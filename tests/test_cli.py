@@ -101,3 +101,74 @@ def test_cli_sync_schedule(tmp_path):
     )
     assert out.returncode == 0, out.stderr
     assert "Link prediction" in out.stdout
+
+
+def _resume_matches_straight(make_runner, graph, tmp_path):
+    """Generic resume ≡ straight-run assertion for any schedule runner."""
+    straight = make_runner().train(iters=9, seed=4)
+    ck = train_with_checkpoints(
+        make_runner(), iters=9, seed=4, every=3, ckpt_dir=str(tmp_path)
+    )
+    np.testing.assert_allclose(ck, straight, rtol=1e-5, atol=1e-6)
+    emb6, it6 = load_checkpoint(os.path.join(tmp_path, "ckpt_0000006.npz"))
+    assert it6 == 6
+    resumed = train_with_checkpoints(
+        make_runner(), iters=9, seed=4, x0=emb6, start_iter=it6, every=3,
+        ckpt_dir=str(tmp_path / "resume"),
+    )
+    np.testing.assert_allclose(resumed, straight, rtol=1e-5, atol=1e-6)
+
+
+def test_checkpoint_resume_sync_schedule(tmp_path):
+    from force2vec_tpu.train.sync import SyncForce2Vec
+
+    graph = read_mtx(KARATE)
+    cfg = TrainConfig(dim=8, model="tdist", ns=3)
+    _resume_matches_straight(
+        lambda: SyncForce2Vec(graph, cfg, min_width=4, hub_width=8),
+        graph, tmp_path,
+    )
+
+
+def test_checkpoint_resume_vertex_schedule(tmp_path):
+    import jax
+
+    from force2vec_tpu.dist.vertex_sharded import (
+        VertexShardedForce2Vec, make_vp_mesh,
+    )
+
+    graph = read_mtx(KARATE)
+    cfg = TrainConfig(dim=8, model="tdist", ns=3)
+    mesh = make_vp_mesh(jax.devices()[:4])
+    _resume_matches_straight(
+        lambda: VertexShardedForce2Vec(
+            graph, cfg, mesh=mesh, min_width=4, hub_width=8
+        ),
+        graph, tmp_path,
+    )
+
+
+def test_checkpoint_resume_sharded_sync_schedule(tmp_path):
+    import jax
+
+    from force2vec_tpu.dist import make_mesh
+    from force2vec_tpu.dist.sharded import ShardedSyncForce2Vec
+
+    graph = read_mtx(KARATE)
+    cfg = TrainConfig(dim=8, model="tdist", ns=3)
+    mesh = make_mesh(jax.devices()[:4], tp=2)
+    _resume_matches_straight(
+        lambda: ShardedSyncForce2Vec(graph, cfg, mesh, min_width=4, hub_width=8),
+        graph, tmp_path,
+    )
+
+
+def test_cli_checkpoint_on_sync_schedule(tmp_path):
+    out = _run_cli(
+        ["-input", KARATE, "-output", str(tmp_path), "-iter", "9", "-dim", "8",
+         "--schedule", "sync", "--checkpoint-every", "3"],
+        tmp_path,
+    )
+    assert out.returncode == 0, out.stderr
+    ckpts = [f for f in os.listdir(tmp_path) if f.startswith("ckpt_")]
+    assert ckpts, "sync schedule wrote no checkpoints"

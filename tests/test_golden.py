@@ -58,6 +58,42 @@ def test_golden_embedding_scale(golden_emb, ours_emb):
     assert 0.1 < o_scale / g_scale < 10.0, (o_scale, g_scale)
 
 
+GOLDEN_SIGMOID = os.path.join(REF, "output", "cora.mtxF2VWNS384D128IT1200NS5.embd")
+
+
+@pytest.fixture(scope="module")
+def golden_sigmoid_emb():
+    return read_embeddings(GOLDEN_SIGMOID)
+
+
+def test_golden_sigmoid_linkpred_parity(cora, golden_sigmoid_emb):
+    """Option 6 (sForce2Vec sigmoid — the variant the reference README
+    recommends for link prediction, README.md:97) gated against its own
+    committed golden artifact (datasets/output/cora.mtxF2VWNS…embd)."""
+    fv = Force2Vec(
+        cora, TrainConfig(dim=128, batch_size=384, model="sigmoid", ns=5)
+    )
+    ours = fv.train(iters=1200, seed=1)
+    g = link_prediction_scores(cora, golden_sigmoid_emb, seed=0)
+    o = link_prediction_scores(cora, ours, seed=0)
+    assert o["auc"] >= g["auc"] - 0.02, (o, g)
+    assert o["accuracy"] >= g["accuracy"] - 0.03, (o, g)
+
+
+def test_pubmed_quality_gate():
+    """BASELINE.json config #2: PubMed (~19K nodes), sigmoid, dim=128,
+    batch=384.  No golden artifact exists for pubmed, so the gate is an
+    absolute link-pred AUC floor (reference-family embeddings comfortably
+    exceed it; random embeddings score ~0.5)."""
+    pubmed = read_mtx(os.path.join(REF, "input", "pubmed.mtx"))
+    fv = Force2Vec(
+        pubmed, TrainConfig(dim=128, batch_size=384, model="sigmoid", ns=5)
+    )
+    emb = fv.train(iters=300, seed=1)
+    o = link_prediction_scores(pubmed, emb, seed=0)
+    assert o["auc"] >= 0.80, o
+
+
 def test_bf16_gather_quality_parity(cora, golden_emb):
     """The mixed-precision gather replica (gather_dtype='bfloat16') must
     reach golden-level downstream quality — it changes only the precision
