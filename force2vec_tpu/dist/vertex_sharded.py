@@ -93,6 +93,7 @@ class VertexShardedForce2Vec:
         lay = self.layout
         garr = {
             "send_idx": jnp.asarray(lay.send_idx),  # [P, P, H]
+            "hot_send": jnp.asarray(lay.hot_send),  # [P, Hh]
             "inv_deg": jnp.asarray(
                 1.0 / (lay.deg_loc.astype(np.float64) + 1.0), dtype=self._dtype
             ),  # [P, n_loc]
@@ -149,6 +150,7 @@ class VertexShardedForce2Vec:
     def _build_iteration_fn(self):
         lay, model, cfg = self.layout, self.model, self.config
         n_loc, H, Pn = lay.n_loc, lay.halo_width, lay.n_shards
+        Hh = lay.hot_width
         ns, dim = cfg.ns, cfg.dim
         covered = sum(
             b.real_count if b.owners is None else 0 for b in lay.buckets
@@ -165,51 +167,58 @@ class VertexShardedForce2Vec:
             mask = jnp.arange(k, dtype=jnp.int32)[None, :] < dg[:, None]
             return jnp.sum(jnp.where(mask[:, :, None], f, 0), axis=1)
 
+        def bucket_force(g, x_loc, xtab, bi, b, step):
+            """Masked ELL force for one slab, gathering neighbors from
+            ``xtab`` (= x_loc for halo-free slabs)."""
+            nbr, dg_b = g[f"nbr{bi}"][0], g[f"deg{bi}"][0]
+            xj = jnp.take(xtab, nbr.reshape(-1), axis=0).reshape(
+                b.count, b.width, dim
+            )
+            if b.owners is None:
+                xi = jax.lax.dynamic_slice(
+                    x_loc, (b.start_local, 0), (b.count, dim)
+                )
+                invd = jax.lax.dynamic_slice(
+                    g["inv_deg"][0], (b.start_local,), (b.count,)
+                )
+            else:
+                own = g[f"own{bi}"][0]
+                xi = jnp.take(x_loc, own + jnp.int32(b.start_local), axis=0)
+                invd = jnp.take(g["inv_deg"][0], own + jnp.int32(b.start_local))
+            part = force_sum("edge", xi, xj, dg_b, invd, step)
+            if b.owners is not None:
+                part = jax.ops.segment_sum(
+                    part, g[f"own{bi}"][0], num_segments=b.real_count
+                )
+            return part
+
         def iteration(g, x_loc, pool_rows, choice, step):
             """One epoch-synchronous step on this shard.
 
-            ``x_loc`` [n_loc, D]; ``pool_rows`` [S, D] replicated sample
-            pool; ``choice`` [n_loc, ns] indices into the pool (or None in
-            shared mode with S == ns); returns the new ``x_loc``.
+            Overlap schedule: the hot all_gather and the cold all_to_all
+            are issued first; the halo-FREE slabs (phase='free', reading
+            only ``x_loc``) and the repulsion term have no data dependency
+            on them, so XLA's latency-hiding scheduler computes them while
+            the exchange flies; the halo-DEPENDENT slabs read
+            ``[x_loc | hot | halo]`` and schedule after it lands.
             """
             step = jnp.asarray(step, dtype=x_loc.dtype)
-            # 1-2. halo exchange: send[j] = my rows destined to shard j
+            # 1. issue the exchange (both tiers)
             send = jnp.take(x_loc, g["send_idx"][0], axis=0)  # [P, H, D]
+            hot_mine = jnp.take(x_loc, g["hot_send"][0], axis=0)  # [Hh, D]
             if Pn > 1:
                 halo = jax.lax.all_to_all(send, "vp", split_axis=0, concat_axis=0)
+                hot = jax.lax.all_gather(hot_mine, "vp", axis=0, tiled=True)
             else:
                 halo = send
-            xtab = jnp.concatenate([x_loc, halo.reshape(Pn * H, dim)], axis=0)
+                hot = hot_mine
 
-            # 3. attraction: per-bucket masked ELL sweeps, concatenated
-            parts = []
+            # 2. halo-free slabs + repulsion — overlap with the exchange
+            parts = {}
             for bi, b in enumerate(lay.buckets):
-                nbr, dg_b = g[f"nbr{bi}"][0], g[f"deg{bi}"][0]
-                xj = jnp.take(xtab, nbr.reshape(-1), axis=0).reshape(
-                    b.count, b.width, dim
-                )
-                if b.owners is None:
-                    xi = jax.lax.dynamic_slice(
-                        x_loc, (b.start_local, 0), (b.count, dim)
-                    )
-                    invd = jax.lax.dynamic_slice(
-                        g["inv_deg"][0], (b.start_local,), (b.count,)
-                    )
-                else:
-                    own = g[f"own{bi}"][0]
-                    xi = jnp.take(x_loc, own + jnp.int32(b.start_local), axis=0)
-                    invd = jnp.take(g["inv_deg"][0], own + jnp.int32(b.start_local))
-                part = force_sum("edge", xi, xj, dg_b, invd, step)
-                if b.owners is not None:
-                    part = jax.ops.segment_sum(
-                        part, g[f"own{bi}"][0], num_segments=b.real_count
-                    )
-                parts.append(part)
-            if n_loc > covered:
-                parts.append(jnp.zeros((n_loc - covered, dim), dtype=x_loc.dtype))
-            upd = jnp.concatenate(parts, axis=0)
+                if b.phase == "free":
+                    parts[bi] = bucket_force(g, x_loc, x_loc, bi, b, step)
 
-            # 4. repulsion against the replicated pool
             if choice is None:
                 s = jnp.broadcast_to(pool_rows[None], (n_loc, ns, dim))
             else:
@@ -218,9 +227,23 @@ class VertexShardedForce2Vec:
                 )
             full = jnp.full((n_loc,), ns, dtype=jnp.int32)
             invd0 = jnp.zeros((n_loc,), dtype=x_loc.dtype)
-            upd = upd + force_sum("sample", x_loc, s, full, invd0, step)
+            rep = force_sum("sample", x_loc, s, full, invd0, step)
 
-            # 5. apply — owner-local, NO collective: the energy norm is
+            # 3. halo-dependent slabs read the assembled table
+            xtab = jnp.concatenate(
+                [x_loc, hot.reshape(Pn * Hh, dim), halo.reshape(Pn * H, dim)],
+                axis=0,
+            )
+            for bi, b in enumerate(lay.buckets):
+                if b.phase != "free":
+                    parts[bi] = bucket_force(g, x_loc, xtab, bi, b, step)
+
+            ordered = [parts[bi] for bi in range(len(lay.buckets))]
+            if n_loc > covered:
+                ordered.append(jnp.zeros((n_loc - covered, dim), dtype=x_loc.dtype))
+            upd = jnp.concatenate(ordered, axis=0) + rep
+
+            # 4. apply — owner-local, NO collective: the energy norm is
             # per-vertex (factor_i = STEP/√‖upd_i‖², algorithms.cpp:224-239)
             if model.update == "energy":
                 fnorm = jnp.sum(upd * upd, axis=-1, keepdims=True)

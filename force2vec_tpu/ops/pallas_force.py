@@ -7,15 +7,19 @@ per (force model, K, D, tile) — except the specialization is done by the
 Mosaic compiler from the same jnp force formulas the rest of the framework
 uses (models/forces.py), so kernel parity is by construction.
 
-Why a kernel at all: the XLA path materializes the [C, K, D] intermediates
-of the force chain (diff, a, f, mask-select) in HBM — several extra passes
-over gigabytes per iteration.  Here each grid step loads one [T, K, D]
-neighbor tile into VMEM once, evaluates the whole force chain on the VPU,
-and writes only the [T, D] partial sums.
+Why a kernel at all (v5e measurements, loop-in-jit harness): XLA fuses the
+neighbor gather INTO the force chain, and that fused loop issues its random
+row reads on a slow path (~188 M rows/s at K=16).  A STANDALONE bulk
+``take`` keeps XLA's fast gather engine (~310 M rows/s materializing), and
+this kernel — opaque to fusion, so the take stays standalone — streams the
+materialized [C, K, D] tile through VMEM exactly once, evaluating the whole
+chain on the VPU with f32 math over the bf16 gather replica.  Net:
+take+kernel ≈ 227 M rows/s vs 188 M for the best pure-XLA form.  The
+pipeline is: bulk gather → fused Pallas sweep.
 
-The neighbor gather itself stays an XLA `take` (measured row-count-bound
-at ~300M rows/s on this chip; a per-row DMA gather in Pallas would be
-issue-bound far below that), so the pipeline is: gather → fused sweep.
+A per-row DMA gather inside the kernel was considered and rejected: DMA
+descriptors issue from the scalar core at ~10 M/s, 30x below XLA's bulk
+gather engine.
 """
 
 from __future__ import annotations
@@ -29,23 +33,23 @@ from jax.experimental.pallas import tpu as pltpu
 
 from force2vec_tpu.models.forces import ForceModel
 
-# VMEM budget per xj tile (bytes); tiles are [T, K, D] float32.  The force
-# chain's temporaries (diff, per-edge scalars, masked product) cost several
-# tile-sized VMEM buffers on top of the double-buffered input, so the tile
-# itself must stay well under the 16 MB scoped-vmem limit.
+# VMEM budget per xj tile (bytes).  The force chain's temporaries (diff,
+# per-edge scalars, masked product) cost several tile-sized VMEM buffers on
+# top of the double-buffered input, so the tile itself must stay well under
+# the 16 MB scoped-vmem limit.
 _TILE_BYTES = 1024 * 1024
 
 
-def _tile_rows(k: int, d: int) -> int:
-    t = _TILE_BYTES // max(k * d * 4, 1)
-    t = max(8, min(512, t))
+def _tile_rows(k: int, d: int, itemsize: int) -> int:
+    t = _TILE_BYTES // max(k * d * itemsize, 1)
+    t = max(8, min(1024, t))
     return (t // 8) * 8
 
 
 def _kernel(model: ForceModel, kind: str, k: int,
             xi_ref, xj_ref, deg_ref, invd_ref, step_ref, out_ref):
     xi = xi_ref[:]              # [T, D]
-    xj = xj_ref[:]              # [T, K, D]
+    xj = xj_ref[:].astype(xi.dtype)  # [T, K, D] (bf16 gather replica ok)
     step = step_ref[0, 0]
     t = xi.shape[0]
     k_iota = jax.lax.broadcasted_iota(jnp.int32, (t, k), 1)
@@ -73,7 +77,7 @@ def ell_force(model: ForceModel, kind: str, xi, xj, deg, invd, step,
     kind: 'edge' (attraction) or 'sample' (repulsion).  Returns [C, D].
     """
     c, k, d = xj.shape
-    t = _tile_rows(k, d)
+    t = _tile_rows(k, d, xj.dtype.itemsize)
     grid = (pl.cdiv(c, t),)
     step_arr = jnp.asarray(step, dtype=xi.dtype).reshape(1, 1)
     return pl.pallas_call(

@@ -60,12 +60,16 @@ class SyncForce2Vec:
         self.model = get_model(config.model)
         if self.model.repulsion == "all":
             raise ValueError("tdist_exact uses the batch trainer, not sync mode")
-        # Default OFF after measurement: on v5e the XLA path fuses the
-        # neighbor gather straight into the force chain, while the Pallas
-        # pipeline forces a full [C, K, D] HBM materialization between
-        # gather and kernel — measured 64.4M updates/s (XLA) vs 44.6M
-        # (Pallas) on the bench graph.  The kernel stays available for
-        # shapes/backends where the tradeoff flips.
+        # Default ON for TPU backends (None = auto).  Measured on v5e with
+        # a clean loop-in-jit harness: XLA fuses the neighbor gather into
+        # the force chain and the fused loop runs at ~188 M rows/s, while a
+        # STANDALONE bulk take (fast gather path) followed by the Pallas
+        # force kernel (ops/pallas_force.py, opaque to fusion) runs at
+        # ~227 M rows/s — the kernel wins by ~1.2-1.3x.  Off on CPU, where
+        # Mosaic isn't available (tests exercise the kernel in interpret
+        # mode separately).
+        if use_pallas is None:
+            use_pallas = jax.default_backend() != "cpu"
         self.use_pallas = bool(use_pallas)
         self.layout = SyncLayout.build(
             graph, min_width=min_width, hub_width=hub_width, row_align=row_align
@@ -224,12 +228,26 @@ class SyncForce2Vec:
             full = jnp.full((local,), wl, dtype=jnp.int32)
             return gathered(force_sum("edge", xi, xj, full, invd, step))
 
+        group = max(cfg.batch_size, 1)
+
         def repulsion(x, xg, negs, step):
             local, off = shard_rows(n_pad)
             r0 = off()
-            nb = jax.lax.dynamic_slice(negs, (r0, 0), (local, ns))
             xi = jax.lax.dynamic_slice(x, (r0, 0), (local, dim))
-            s = jnp.take(xg, nb.reshape(-1), axis=0).reshape(local, ns, dim)
+            if negs.shape[0] == n_pad:
+                # per-row samples ([n_pad, ns]): one bulk gather
+                nb = jax.lax.dynamic_slice(negs, (r0, 0), (local, ns))
+                s = jnp.take(xg, nb.reshape(-1), axis=0).reshape(local, ns, dim)
+            else:
+                # grouped samples ([ng, ns]): each batch_size-row group
+                # shares one ns-sample set — the reference's own option-5
+                # sampling pattern (sample/algorithms.cpp:577-586), and the
+                # repulsion gather collapses from n·ns rows to ng·ns rows.
+                sg = jnp.take(xg, negs.reshape(-1), axis=0).reshape(
+                    negs.shape[0], ns, dim
+                )
+                gid = (r0 + jnp.arange(local, dtype=jnp.int32)) // jnp.int32(group)
+                s = jnp.take(sg, gid, axis=0)
             full = jnp.full((local,), ns, dtype=jnp.int32)
             invd0 = jnp.zeros((local,), dtype=x.dtype)
             return gathered(force_sum("sample", xi, s, full, invd0, step))
@@ -265,12 +283,14 @@ class SyncForce2Vec:
                     nkey, (n_pad, cfg.ns), 0, max(lay.n - 1, 1), dtype=jnp.int32
                 )
             else:
-                # batch-shared samples — the reference's default flavor and
-                # the only one its FR/LinLog/ForceAtlas variants have
-                shared = jax.random.randint(
-                    nkey, (1, cfg.ns), 0, max(lay.n - 1, 1), dtype=jnp.int32
+                # batch-shared samples — the reference's default flavor
+                # (one ns-sample set per batch of batch_size vertices,
+                # sample/algorithms.cpp:577-586); grouped over the
+                # relabeled row order here
+                ng = -(-n_pad // max(cfg.batch_size, 1))
+                negs = jax.random.randint(
+                    nkey, (ng, cfg.ns), 0, max(lay.n - 1, 1), dtype=jnp.int32
                 )
-                negs = jnp.broadcast_to(shared, (n_pad, cfg.ns))
             walks = None
             if model.attraction == "walk":
                 # walk over the relabeled ELL graph: L uniform-neighbor steps

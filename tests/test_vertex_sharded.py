@@ -19,8 +19,10 @@ NS = 4
 
 
 def _edges_from_layout(graph, lay):
-    """Recover the (src_g, dst_g) edge multiset from the sharded tables."""
-    P, n_loc, H = lay.n_shards, lay.n_loc, lay.halo_width
+    """Recover the (src_g, dst_g) edge multiset from the sharded tables.
+    The remapped index space is [local | hot tier | pairwise halo]."""
+    P, n_loc, H, Hh = lay.n_shards, lay.n_loc, lay.halo_width, lay.hot_width
+    halo_base = n_loc + P * Hh
     # inverse of (shard, lrow) -> g
     g_of = np.full((P, n_loc), -1, dtype=np.int64)
     g_of[lay.shard_of, lay.lrow_of] = np.arange(lay.n)
@@ -31,9 +33,13 @@ def _edges_from_layout(graph, lay):
             out = np.empty_like(idx)
             local = idx < n_loc
             out[local] = g_of[p, idx[local]]
-            rem = ~local
-            q = (idx[rem] - n_loc) // H
-            t = (idx[rem] - n_loc) % H
+            hot = (idx >= n_loc) & (idx < halo_base)
+            q = (idx[hot] - n_loc) // Hh
+            t = (idx[hot] - n_loc) % Hh
+            out[hot] = g_of[q, lay.hot_send[q, t]]
+            rem = idx >= halo_base
+            q = (idx[rem] - halo_base) // H
+            t = (idx[rem] - halo_base) % H
             out[rem] = g_of[q, lay.send_idx[q, p, t]]
             return out
 
@@ -123,3 +129,59 @@ def test_rejects_walk_model(small_graph):
             small_graph, TrainConfig(dim=DIM, model="rwalk"),
             mesh=make_vp_mesh(jax.devices()[:2]),
         )
+
+
+def _sbm_graph(n=8192, k=8, avg_deg=8, p_intra=0.9, seed=0):
+    """Stochastic-block-model-ish graph: 90% of edges stay inside one of k
+    id-contiguous communities — the locality structure real crawls have."""
+    from force2vec_tpu.graphs.csr import Graph
+
+    rng = np.random.default_rng(seed)
+    m = n * avg_deg // 2
+    src = rng.integers(0, n, m)
+    com = src * k // n
+    intra = rng.random(m) < p_intra
+    dst = np.where(
+        intra, (com * n // k) + rng.integers(0, n // k, m), rng.integers(0, n, m)
+    )
+    keep = src != dst
+    rows = np.concatenate([src[keep], dst[keep]])
+    cols = np.concatenate([dst[keep], src[keep]])
+    return Graph.from_coo(rows, cols, None, n=n)
+
+
+def test_block_deal_halves_halo_on_structured_graph():
+    """The locality-preserving block deal must cut the exchanged rows at
+    least 2x vs the locality-free round-robin deal on a community graph
+    (VERDICT r1 item 4's metric; on structureless uniform-random graphs no
+    partition can win, which test-documents the physics)."""
+    g = _sbm_graph()
+    rr = VertexShardLayout.build(g, 8, deal="rr")
+    blk = VertexShardLayout.build(g, 8, deal="block")
+    assert (
+        blk.stats["v2_recv_rows_per_shard"]
+        <= rr.stats["v2_recv_rows_per_shard"] / 2
+    ), (blk.stats, rr.stats)
+    # auto picks the block deal here
+    auto = VertexShardLayout.build(g, 8, deal="auto")
+    assert auto.stats["deal"] == "block"
+
+
+def test_overlap_schedule_structure():
+    """The layout exposes halo-free slabs (computable while the exchange
+    flies) and halo-dependent slabs; on a structured graph the free tier is
+    non-trivial, and both tiers reconstruct the full adjacency."""
+    g = _sbm_graph()
+    lay = VertexShardLayout.build(g, 4, deal="block")
+    free = [b for b in lay.buckets if b.phase == "free"]
+    dep = [b for b in lay.buckets if b.phase != "free"]
+    assert free and dep
+    free_rows = int(sum(b.deg.astype(np.int64).sum() for b in free))
+    assert free_rows > 0
+    got = _edges_from_layout(g, lay)
+    inv = lay.inv_perm
+    want = []
+    for v in range(g.n):
+        for e in range(g.rowptr[v], g.rowptr[v + 1]):
+            want.append((int(inv[v]), int(inv[g.colids[e]])))
+    assert got == sorted(want)
