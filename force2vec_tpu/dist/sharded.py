@@ -66,15 +66,21 @@ class ShardedForce2Vec:
         iteration = fv._build_iteration_fn(self.spmd)
         device_train = fv._build_train_fn(iteration=iteration)
 
+        from force2vec_tpu.train.trainer import make_train_dispatcher
+
         self.x_spec = P(None, "tp")
-        sharded = jax.shard_map(
-            device_train,
-            mesh=mesh,
-            in_specs=(P(), self.x_spec, P(), P(), P()),
-            out_specs=self.x_spec,
-            check_vma=False,
-        )
-        self._train_jit = jax.jit(sharded, donate_argnums=(1,))
+
+        def jit_for(k):
+            sharded = jax.shard_map(
+                lambda g, x, key, off: device_train(g, x, key, k, off),
+                mesh=mesh,
+                in_specs=(P(), self.x_spec, P(), P()),
+                out_specs=self.x_spec,
+                check_vma=False,
+            )
+            return jax.jit(sharded)
+
+        self._train_jit = make_train_dispatcher(jit_for)
 
     def shard_embedding(self, x) -> jax.Array:
         """Place a [n_pad, D] embedding on the mesh with the P(None, tp)
@@ -146,15 +152,22 @@ class ShardedSyncForce2Vec:
 
         iteration = self.fv._build_iteration_fn(self.spmd)
         device_train = self.fv._build_train_fn(iteration=iteration)
+
+        from force2vec_tpu.train.trainer import make_train_dispatcher
+
         self.x_spec = P(None, "tp")
-        sharded = jax.shard_map(
-            device_train,
-            mesh=mesh,
-            in_specs=(P(), self.x_spec, P(), P(), P()),
-            out_specs=self.x_spec,
-            check_vma=False,
-        )
-        self._train_jit = jax.jit(sharded, donate_argnums=(1,))
+
+        def jit_for(k):
+            sharded = jax.shard_map(
+                lambda g, x, key, off: device_train(g, x, key, k, off),
+                mesh=mesh,
+                in_specs=(P(), self.x_spec, P(), P()),
+                out_specs=self.x_spec,
+                check_vma=False,
+            )
+            return jax.jit(sharded)
+
+        self._train_jit = make_train_dispatcher(jit_for)
 
     # runner protocol (train_with_checkpoints works on any schedule)
     @property

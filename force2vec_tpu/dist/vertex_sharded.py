@@ -69,11 +69,6 @@ class VertexShardedForce2Vec:
         self.model = get_model(config.model)
         if self.model.repulsion == "all":
             raise ValueError("tdist_exact runs the batch trainer, not vertex-sharded")
-        if self.model.attraction == "walk":
-            raise NotImplementedError(
-                "rwalk's walk engine is not vertex-sharded yet; use the "
-                "dp/tp runner (dist/sharded.py) for rwalk at scale"
-            )
         if sampling not in ("shared", "pool"):
             raise ValueError(f"sampling must be 'shared' or 'pool', got {sampling!r}")
         self.mesh = mesh if mesh is not None else make_vp_mesh()
@@ -103,20 +98,44 @@ class VertexShardedForce2Vec:
             garr[f"deg{bi}"] = jnp.asarray(b.deg)  # [P, count]
             if b.owners is not None:
                 garr[f"own{bi}"] = jnp.asarray(b.owners)
-        self._garr = garr
+        if self.model.attraction == "walk":
+            garr["gmap"] = jnp.asarray(lay.gmap)  # [P, table_len]
+            garr["deg_all"] = jnp.asarray(lay.deg_loc)  # [P, n_loc]
+            hub = lay.buckets[-1] if lay.buckets[-1].owners is not None else None
+            if hub is not None:
+                # first virtual row per hub owner offset (owners' vrows are
+                # consecutive per shard) — the walk engine's hub lookup
+                first = np.zeros((self.P, max(hub.real_count, 1)), dtype=np.int32)
+                for p in range(self.P):
+                    u, idx = np.unique(hub.owners[p], return_index=True)
+                    first[p, u] = idx.astype(np.int32)
+                garr["first_vrow"] = jnp.asarray(first)
         self._gspecs = {k: P("vp") for k in garr}
+        if self.model.attraction == "walk":
+            # whole-graph maps every shard reads (replicated, not sharded)
+            garr["shard_of"] = jnp.asarray(lay.shard_of)  # [n]
+            garr["lrow_of"] = jnp.asarray(lay.lrow_of)  # [n]
+            self._gspecs["shard_of"] = P()
+            self._gspecs["lrow_of"] = P()
+        self._garr = garr
+
+        from force2vec_tpu.train.trainer import make_train_dispatcher
 
         self.x_spec = P("vp", None)
         self._iteration = self._build_iteration_fn()
         train = self._build_train_fn()
-        sharded = jax.shard_map(
-            train,
-            mesh=self.mesh,
-            in_specs=(self._gspecs, self.x_spec, P(), P(), P()),
-            out_specs=self.x_spec,
-            check_vma=False,
-        )
-        self._train_jit = jax.jit(sharded, donate_argnums=(1,))
+
+        def jit_for(k):
+            sharded = jax.shard_map(
+                lambda g, x, key, off: train(g, x, key, k, off),
+                mesh=self.mesh,
+                in_specs=(self._gspecs, self.x_spec, P(), P()),
+                out_specs=self.x_spec,
+                check_vma=False,
+            )
+            return jax.jit(sharded)
+
+        self._train_jit = make_train_dispatcher(jit_for)
 
     # -- embedding layout ----------------------------------------------------
 
@@ -192,7 +211,39 @@ class VertexShardedForce2Vec:
                 )
             return part
 
-        def iteration(g, x_loc, pool_rows, choice, step):
+        wl = cfg.walk_length
+        n_total = lay.n
+
+        def attraction_walk(g, x_loc, walks, step):
+            """Sigmoid force against the walk targets (global ids), fetched
+            by rotating ``x_loc`` around the vp ring (P-1 ppermutes, each
+            overlappable with the masked per-round force evaluation) — the
+            framework's ring-attention analog: the KV rotation is an
+            embedding-chunk rotation (SURVEY.md §5)."""
+            ownerW = jnp.take(g["shard_of"], jnp.clip(walks, 0, n_total - 1))
+            lrW = jnp.take(g["lrow_of"], jnp.clip(walks, 0, n_total - 1))
+            validW = walks >= 0
+            invd = g["inv_deg"][0]
+            rank = jax.lax.axis_index("vp") if Pn > 1 else 0
+            acc = jnp.zeros((n_loc, dim), dtype=x_loc.dtype)
+            chunk = x_loc
+            for r in range(Pn):
+                owner_r = (rank - r) % Pn
+                xj = jnp.take(chunk, lrW.reshape(-1), axis=0).reshape(
+                    n_loc, wl, dim
+                )
+                f = model.edge_force(
+                    x_loc[:, None, :], xj, invd[:, None, None], step
+                )
+                m = (ownerW == owner_r) & validW
+                acc = acc + jnp.sum(jnp.where(m[:, :, None], f, 0), axis=1)
+                if r < Pn - 1:
+                    chunk = jax.lax.ppermute(
+                        chunk, "vp", [(i, (i + 1) % Pn) for i in range(Pn)]
+                    )
+            return acc
+
+        def iteration(g, x_loc, pool_rows, choice, walks, step):
             """One epoch-synchronous step on this shard.
 
             Overlap schedule: the hot all_gather and the cold all_to_all
@@ -201,24 +252,11 @@ class VertexShardedForce2Vec:
             on them, so XLA's latency-hiding scheduler computes them while
             the exchange flies; the halo-DEPENDENT slabs read
             ``[x_loc | hot | halo]`` and schedule after it lands.
+
+            For the walk model (rwalk), attraction is the ring schedule of
+            :func:`attraction_walk` over injected/driven walk targets.
             """
             step = jnp.asarray(step, dtype=x_loc.dtype)
-            # 1. issue the exchange (both tiers)
-            send = jnp.take(x_loc, g["send_idx"][0], axis=0)  # [P, H, D]
-            hot_mine = jnp.take(x_loc, g["hot_send"][0], axis=0)  # [Hh, D]
-            if Pn > 1:
-                halo = jax.lax.all_to_all(send, "vp", split_axis=0, concat_axis=0)
-                hot = jax.lax.all_gather(hot_mine, "vp", axis=0, tiled=True)
-            else:
-                halo = send
-                hot = hot_mine
-
-            # 2. halo-free slabs + repulsion — overlap with the exchange
-            parts = {}
-            for bi, b in enumerate(lay.buckets):
-                if b.phase == "free":
-                    parts[bi] = bucket_force(g, x_loc, x_loc, bi, b, step)
-
             if choice is None:
                 s = jnp.broadcast_to(pool_rows[None], (n_loc, ns, dim))
             else:
@@ -227,21 +265,45 @@ class VertexShardedForce2Vec:
                 )
             full = jnp.full((n_loc,), ns, dtype=jnp.int32)
             invd0 = jnp.zeros((n_loc,), dtype=x_loc.dtype)
-            rep = force_sum("sample", x_loc, s, full, invd0, step)
 
-            # 3. halo-dependent slabs read the assembled table
-            xtab = jnp.concatenate(
-                [x_loc, hot.reshape(Pn * Hh, dim), halo.reshape(Pn * H, dim)],
-                axis=0,
-            )
-            for bi, b in enumerate(lay.buckets):
-                if b.phase != "free":
-                    parts[bi] = bucket_force(g, x_loc, xtab, bi, b, step)
+            if model.attraction == "walk":
+                rep = force_sum("sample", x_loc, s, full, invd0, step)
+                upd = attraction_walk(g, x_loc, walks, step) + rep
+            else:
+                # 1. issue the exchange (both tiers)
+                send = jnp.take(x_loc, g["send_idx"][0], axis=0)  # [P, H, D]
+                hot_mine = jnp.take(x_loc, g["hot_send"][0], axis=0)  # [Hh, D]
+                if Pn > 1:
+                    halo = jax.lax.all_to_all(
+                        send, "vp", split_axis=0, concat_axis=0
+                    )
+                    hot = jax.lax.all_gather(hot_mine, "vp", axis=0, tiled=True)
+                else:
+                    halo = send
+                    hot = hot_mine
 
-            ordered = [parts[bi] for bi in range(len(lay.buckets))]
-            if n_loc > covered:
-                ordered.append(jnp.zeros((n_loc - covered, dim), dtype=x_loc.dtype))
-            upd = jnp.concatenate(ordered, axis=0) + rep
+                # 2. halo-free slabs + repulsion — overlap with the exchange
+                parts = {}
+                for bi, b in enumerate(lay.buckets):
+                    if b.phase == "free":
+                        parts[bi] = bucket_force(g, x_loc, x_loc, bi, b, step)
+                rep = force_sum("sample", x_loc, s, full, invd0, step)
+
+                # 3. halo-dependent slabs read the assembled table
+                xtab = jnp.concatenate(
+                    [x_loc, hot.reshape(Pn * Hh, dim), halo.reshape(Pn * H, dim)],
+                    axis=0,
+                )
+                for bi, b in enumerate(lay.buckets):
+                    if b.phase != "free":
+                        parts[bi] = bucket_force(g, x_loc, xtab, bi, b, step)
+
+                ordered = [parts[bi] for bi in range(len(lay.buckets))]
+                if n_loc > covered:
+                    ordered.append(
+                        jnp.zeros((n_loc - covered, dim), dtype=x_loc.dtype)
+                    )
+                upd = jnp.concatenate(ordered, axis=0) + rep
 
             # 4. apply — owner-local, NO collective: the energy norm is
             # per-vertex (factor_i = STEP/√‖upd_i‖², algorithms.cpp:224-239)
@@ -253,6 +315,79 @@ class VertexShardedForce2Vec:
             return x_loc + upd
 
         return iteration
+
+    def _build_walk_fn(self):
+        """Distributed L-step uniform walk engine.
+
+        The frontier (each local walker's current GLOBAL row) is
+        all_gathered as ids (4 bytes/walker — cheap); every shard answers
+        the queries for rows it owns by one lookup in its own ELL tables,
+        translated back to global ids via ``gmap``; one psum merges the
+        answers.  Per step: one [P·n_loc] int all_gather + one psum — no
+        embedding rows move (those are fetched later by the ring in
+        attraction_walk).  Matches the reference's per-iteration 5-step
+        walks (sample/algorithms.cpp:1097-1118) in vectorized form.
+        """
+        lay, cfg = self.layout, self.config
+        n_loc, Pn, n = lay.n_loc, lay.n_shards, lay.n
+        wl = cfg.walk_length
+
+        def neighbor_of_local(g, lr, slot):
+            """remapped-neighbor id of (local row lr, slot) on this shard."""
+            out = jnp.zeros_like(lr)
+            for bi, b in enumerate(lay.buckets):
+                nbr = g[f"nbr{bi}"][0]
+                flat = nbr.reshape(-1)
+                if b.owners is None:
+                    in_b = (lr >= b.start_local) & (lr < b.start_local + b.count)
+                    local = jnp.clip(lr - b.start_local, 0, b.count - 1)
+                    got = jnp.take(
+                        flat, local * b.width + jnp.clip(slot, 0, b.width - 1)
+                    )
+                else:
+                    in_b = lr >= b.start_local
+                    first = g["first_vrow"][0]
+                    local = jnp.clip(lr - b.start_local, 0, first.shape[0] - 1)
+                    vrow = jnp.clip(
+                        jnp.take(first, local) + slot // b.width, 0, b.count - 1
+                    )
+                    got = jnp.take(
+                        flat, vrow * b.width + jnp.clip(slot % b.width, 0, b.width - 1)
+                    )
+                out = jnp.where(in_b, got, out)
+            return out
+
+        def walks(g, key):
+            rank = jax.lax.axis_index("vp") if Pn > 1 else 0
+            gmap_loc = g["gmap"][0][:n_loc]  # [n_loc] global id or -1
+            f = jnp.clip(gmap_loc, 0, n - 1)
+            valid = gmap_loc >= 0
+            targets = []
+            for t in range(wl):
+                rand = jax.random.randint(
+                    jax.random.fold_in(key, t), (Pn * n_loc,), 0,
+                    jnp.iinfo(jnp.int32).max, dtype=jnp.int32,
+                )
+                if Pn > 1:
+                    F = jax.lax.all_gather(f, "vp", axis=0, tiled=True)
+                else:
+                    F = f
+                owner = jnp.take(g["shard_of"], F)
+                mine = owner == rank
+                lr = jnp.take(g["lrow_of"], F)
+                d = jnp.take(g["deg_all"][0], jnp.clip(lr, 0, n_loc - 1))
+                slot = rand % jnp.maximum(d, 1)
+                nxt_rem = neighbor_of_local(g, lr, slot)
+                nxt_g = jnp.take(g["gmap"][0], nxt_rem)
+                ans = jnp.where(d > 0, nxt_g, F)  # deg-0 rows stay put
+                ans = jnp.where(mine, ans, 0)
+                if Pn > 1:
+                    ans = jax.lax.psum(ans, "vp")
+                f = jax.lax.dynamic_slice(ans, (rank * n_loc,), (n_loc,))
+                targets.append(jnp.where(valid, f, -1))
+            return jnp.stack(targets, axis=1)  # [n_loc, wl] global ids / -1
+
+        return walks
 
     def _build_pool_fn(self):
         """(g, x_loc, pool_g) -> [S, D] replicated rows of global ids
@@ -278,11 +413,12 @@ class VertexShardedForce2Vec:
         lay, model, cfg = self.layout, self.model, self.config
         iteration = self._iteration
         pool_fn = self._build_pool_fn()
+        walk_fn = self._build_walk_fn() if model.attraction == "walk" else None
         lr = self.lr
         n_loc, Pn = lay.n_loc, lay.n_shards
         S = cfg.ns if self.sampling == "shared" else self.neg_pool
 
-        def draw(key, it):
+        def draw(g, key, it):
             kit = jax.random.fold_in(key, it)
             # pool ids: same on every rank (key independent of rank)
             pool_g = jax.random.randint(
@@ -295,18 +431,21 @@ class VertexShardedForce2Vec:
                 choice = jax.random.randint(
                     ckey, (n_loc, cfg.ns), 0, S, dtype=jnp.int32
                 )
-            return pool_g, choice
+            walks = None
+            if walk_fn is not None:
+                walks = walk_fn(g, jax.random.fold_in(kit, 2))
+            return pool_g, choice, walks
 
         def train(g, x_loc, key, num_iters, iter_offset):
             def body(t, xc):
                 it = iter_offset + t
-                pool_g, choice = draw(key, it)
+                pool_g, choice, walks = draw(g, key, it)
                 rows = pool_fn(xc, pool_g)
                 if model.lr_schedule == "decay999":
                     step = lr * jnp.power(jnp.float32(0.999), it).astype(xc.dtype)
                 else:
                     step = jnp.asarray(lr, dtype=xc.dtype)
-                return iteration(g, xc, rows, choice, step)
+                return iteration(g, xc, rows, choice, walks, step)
 
             return jax.lax.fori_loop(0, num_iters, body, x_loc)
 
@@ -314,32 +453,46 @@ class VertexShardedForce2Vec:
 
     # -- public API ------------------------------------------------------------
 
-    def run_iteration(self, x, pool_ids, choice=None, step=None):
+    def run_iteration(self, x, pool_ids, choice=None, step=None, walks=None):
         """One iteration with injected global-relabeled pool ids [S] (and
-        optional [P·n_loc, ns] pool choices) — the parity-test entry point."""
+        optional [P·n_loc, ns] pool choices) — the parity-test entry point.
+
+        ``walks``: for the rwalk model, [n, L] walk targets indexed by
+        GLOBAL degree-sorted row (the same array the sync schedule takes),
+        values being global rows; each shard picks out its walkers' rows.
+        """
         if step is None:
             step = self.lr
         pool_fn = self._build_pool_fn()
         iteration = self._iteration
+        lay = self.layout
+        n, n_loc = lay.n, lay.n_loc
 
-        def one(g, x_loc, pool_g, ch, s):
+        def one(g, x_loc, pool_g, ch, wg, s):
             rows = pool_fn(x_loc, pool_g)
-            return iteration(g, x_loc, rows, ch, s)
+            w_loc = None
+            if wg is not None:
+                gmap_loc = g["gmap"][0][:n_loc]
+                wl_rows = jnp.take(wg, jnp.clip(gmap_loc, 0, n - 1), axis=0)
+                w_loc = jnp.where((gmap_loc >= 0)[:, None], wl_rows, -1)
+            return iteration(g, x_loc, rows, ch, w_loc, s)
 
         ch_spec = P() if choice is None else self.x_spec
         sharded = jax.shard_map(
             one,
             mesh=self.mesh,
-            in_specs=(self._gspecs, self.x_spec, P(), ch_spec, P()),
+            in_specs=(self._gspecs, self.x_spec, P(), ch_spec, P(), P()),
             out_specs=self.x_spec,
             check_vma=False,
         )
         ch = None if choice is None else jnp.asarray(choice, dtype=jnp.int32)
+        w = None if walks is None else jnp.asarray(walks, dtype=jnp.int32)
         return sharded(
             self._garr,
             jnp.asarray(x),
             jnp.asarray(pool_ids, dtype=jnp.int32),
             ch,
+            w,
             jnp.asarray(step, dtype=self._dtype),
         )
 

@@ -90,6 +90,7 @@ class VertexShardLayout:
     send_idx: np.ndarray  # [P, P, H] int32 — send_idx[q, p] = q-local rows for p
     hot_send: np.ndarray  # [P, Hh] int32 — q-local rows in the hot tier
     padded_edges: int  # Σ P·count·width — gather volume per iteration
+    gmap: np.ndarray  # [P, n_loc + P·Hh + P·H] int32 global id per slot (-1 pad)
     stats: dict  # exchange metrics (vs the uniform worst-pair v1 design)
 
     @staticmethod
@@ -413,6 +414,21 @@ class VertexShardLayout:
         if hub is not None:
             buckets.append(hub)
 
+        # --- global-id map of each shard's [local | hot | halo] space --------
+        # gmap[p, slot] = degree-sorted GLOBAL row the slot holds (or -1 for
+        # never-written padding slots).  Lets the distributed walk engine
+        # translate ELL-table entries back to global ids.
+        table_len = n_loc + P * Hh + P * H
+        gmap = np.full((P, table_len), -1, dtype=np.int32)
+        all_g = np.arange(n, dtype=np.int32)
+        for p in range(P):
+            own_g = all_g[shard_of == p]
+            gmap[p, lrow_of[own_g]] = own_g
+            hg = hot_rows[shard_of[hot_rows] != p]
+            gmap[p, hot_base + hot_slot[hg]] = hg.astype(np.int32)
+            u, slots = cold_slot[p]
+            gmap[p, halo_base + slots] = u.astype(np.int32)
+
         # exchange metrics: rows RECEIVED per shard per iteration
         hot_total = int(len(hot_rows))
         stats = {
@@ -443,5 +459,6 @@ class VertexShardLayout:
             send_idx=send_idx,
             hot_send=hot_send,
             padded_edges=padded_edges,
+            gmap=gmap,
             stats=stats,
         )

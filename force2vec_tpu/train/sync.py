@@ -98,8 +98,13 @@ class SyncForce2Vec:
             garr["deg_all"] = jnp.asarray(lay.deg)
         self._garr = garr
 
+        from force2vec_tpu.train.trainer import make_train_dispatcher
+
         self._iteration = self._build_iteration_fn()
-        self._train_jit = jax.jit(self._build_train_fn(), donate_argnums=(1,))
+        train = self._build_train_fn()
+        self._train_jit = make_train_dispatcher(
+            lambda k: jax.jit(lambda g, x, key, off: train(g, x, key, k, off))
+        )
 
     # -- embedding layout ---------------------------------------------------
 

@@ -30,3 +30,55 @@ def test_pod_mesh_runs_collective():
         )
     )(np.ones(len(jax.devices()), np.float32))
     assert float(np.asarray(out)[0]) == len(jax.devices())
+
+
+def test_two_process_sync_step_matches_single(tmp_path):
+    """SURVEY §4's multi-process simulation: two OS processes joined by
+    jax.distributed (CPU backend, 2 virtual devices each) train 3 sync
+    iterations over a (dp=2, tp=2) pod mesh; every process must produce
+    exactly the single-process result — proving the cross-process psum/
+    all_gather path, not just the single-process shard_map."""
+    import os
+    import socket
+    import subprocess
+    import sys
+
+    # free port for the coordinator
+    s = socket.socket()
+    s.bind(("localhost", 0))
+    port = s.getsockname()[1]
+    s.close()
+    coord = f"localhost:{port}"
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    worker = os.path.join(repo, "tests", "_mp_worker.py")
+    env = dict(os.environ)
+    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    procs = [
+        subprocess.Popen(
+            [sys.executable, worker, coord, "2", str(pid), str(tmp_path)],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+        )
+        for pid in range(2)
+    ]
+    outs = [p.communicate(timeout=300) for p in procs]
+    for p, (out, err) in zip(procs, outs):
+        assert p.returncode == 0, f"worker failed:\n{out}\n{err}"
+
+    # single-process reference on the in-test 8-device CPU mesh
+    from force2vec_tpu.dist import make_mesh
+    from force2vec_tpu.dist.sharded import ShardedSyncForce2Vec
+    from force2vec_tpu.graphs.io import read_mtx
+    from force2vec_tpu.train.trainer import TrainConfig
+
+    graph = read_mtx("/root/reference/datasets/input/karate.mtx")
+    mesh = make_mesh(jax.devices()[:4], tp=2)
+    want = ShardedSyncForce2Vec(
+        graph, TrainConfig(dim=8, model="tdist", ns=3), mesh,
+        min_width=4, hub_width=8,
+    ).train(iters=3, seed=4)
+
+    for pid in range(2):
+        got = np.load(str(tmp_path / f"emb_{pid}.npy"))
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)

@@ -123,12 +123,89 @@ def test_train_end_to_end_shared(small_graph):
     assert np.all(np.isfinite(out))
 
 
-def test_rejects_walk_model(small_graph):
-    with pytest.raises(NotImplementedError):
-        VertexShardedForce2Vec(
-            small_graph, TrainConfig(dim=DIM, model="rwalk"),
-            mesh=make_vp_mesh(jax.devices()[:2]),
-        )
+@pytest.mark.parametrize("n_dev", [1, 4])
+def test_vertex_sharded_rwalk_matches_sync(small_graph, n_dev):
+    """rwalk under vertex sharding: injected walk targets (global
+    degree-sorted space, the array both schedules accept) must produce
+    exactly the sync schedule's result — proving the ring-rotation fetch
+    (attraction_walk) is a faithful distributed gather."""
+    g = small_graph
+    cfg = TrainConfig(dim=DIM, model="rwalk", ns=NS)
+    sync = SyncForce2Vec(g, cfg, min_width=4, hub_width=16)
+    vfv = VertexShardedForce2Vec(
+        g, cfg, mesh=make_vp_mesh(jax.devices()[:n_dev]), min_width=4,
+        hub_width=16,
+    )
+    rng = np.random.default_rng(7)
+    x_host = rng.random((g.n, DIM)).astype(np.float32)
+    xs = sync.pad_embedding(x_host)
+    xv = vfv.pad_embedding(x_host)
+    L = cfg.walk_length
+    for it in range(3):
+        pool = rng.integers(0, g.n - 1, size=NS).astype(np.int32)
+        negs = np.broadcast_to(pool, (sync.layout.n_pad, NS))
+        walks = rng.integers(0, g.n, size=(g.n, L)).astype(np.int32)
+        walks_pad = np.zeros((sync.layout.n_pad, L), np.int32)
+        walks_pad[: g.n] = walks
+        xs = sync.run_iteration(xs, negs, walks=walks_pad)
+        xv = vfv.run_iteration(xv, pool, walks=walks)
+    np.testing.assert_allclose(
+        vfv.unpad_embedding(xv), sync.unpad_embedding(xs), rtol=1e-5, atol=1e-6
+    )
+
+
+def test_vertex_sharded_walk_engine_valid(small_graph):
+    """Every distributed walk step moves along a true edge (or stays put
+    on degree-0 rows) — structural exactness of the id-routing engine."""
+    g = small_graph
+    cfg = TrainConfig(dim=DIM, model="rwalk", ns=NS)
+    mesh = make_vp_mesh(jax.devices()[:4])
+    vfv = VertexShardedForce2Vec(g, cfg, mesh=mesh, min_width=4, hub_width=16)
+    lay = vfv.layout
+    walk_fn = vfv._build_walk_fn()
+    from jax.sharding import PartitionSpec as P
+
+    sharded = jax.shard_map(
+        lambda garr, key: walk_fn(garr, key),
+        mesh=mesh,
+        in_specs=(vfv._gspecs, P()),
+        out_specs=P("vp"),
+        check_vma=False,
+    )
+    W = np.asarray(sharded(vfv._garr, jax.random.PRNGKey(3)))  # [P*n_loc, L]
+    # adjacency in global degree-sorted space
+    inv = lay.inv_perm
+    adj = set()
+    deg_g = np.zeros(g.n, np.int64)
+    for v in range(g.n):
+        gv = int(inv[v])
+        deg_g[gv] = g.rowptr[v + 1] - g.rowptr[v]
+        for e in range(g.rowptr[v], g.rowptr[v + 1]):
+            adj.add((gv, int(inv[g.colids[e]])))
+    # walker at shard p local row r starts at gmap[p, r]
+    for p in range(lay.n_shards):
+        for r in range(lay.n_loc):
+            cur = int(lay.gmap[p, r])
+            if cur < 0:
+                assert all(W[p * lay.n_loc + r] == -1)
+                continue
+            for t in range(W.shape[1]):
+                nxt = int(W[p * lay.n_loc + r, t])
+                if deg_g[cur] == 0:
+                    assert nxt == cur
+                else:
+                    assert (cur, nxt) in adj, (cur, nxt)
+                cur = nxt
+
+
+def test_vertex_sharded_rwalk_trains(small_graph):
+    vfv = VertexShardedForce2Vec(
+        small_graph, TrainConfig(dim=DIM, model="rwalk", ns=NS),
+        mesh=make_vp_mesh(jax.devices()[:4]), min_width=4, hub_width=16,
+    )
+    out = vfv.train(iters=4, seed=3)
+    assert out.shape == (small_graph.n, DIM)
+    assert np.all(np.isfinite(out))
 
 
 def _sbm_graph(n=8192, k=8, avg_deg=8, p_intra=0.9, seed=0):
