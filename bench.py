@@ -91,13 +91,17 @@ def main():
 
     key = jax.random.PRNGKey(1)
 
-    # warmup (compile + first steps; block via a real host transfer — on
-    # the remote-TPU platform block_until_ready alone does not block)
-    x = fv._train_jit(fv._garr, x, key, warmup, 0)
+    # warmup with the SAME span length as the timed run — the train entry
+    # compiles one program per iteration count, so a different warmup span
+    # would leave the real compile inside the timed region.  Block via a
+    # real host transfer (on the remote-TPU platform block_until_ready
+    # alone does not block).
+    del warmup
+    x = fv._train_jit(fv._garr, x, key, iters, 0)
     _np.asarray(x).ravel()[:1]
 
     t1 = time.perf_counter()
-    x = fv._train_jit(fv._garr, x, key, iters, warmup)
+    x = fv._train_jit(fv._garr, x, key, iters, iters)
     _np.asarray(x).ravel()[:1]
     dt = time.perf_counter() - t1
 

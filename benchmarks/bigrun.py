@@ -1,0 +1,128 @@
+"""Big-graph end-to-end proof: com-Youtube-scale synthetic graph through
+native load -> TPU training -> subsampled link prediction.
+
+Records BIGRUN.json: {graph, load_seconds, layout_seconds, train
+updates/s, eval AUC} — the can't-fit-in-networkx regime the reference
+handles with performancescores/biglinkprediction.py:133 (evaluate on the
+first `size` vertices).
+
+Usage: python benchmarks/bigrun.py [--n 1500000] [--deg 34] [--iters 300]
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+import numpy as np
+
+
+def synth_big(n, avg_deg, seed=7, path="/tmp/bigrun.mtx"):
+    """Power-law graph at com-Youtube scale, written as a symmetric .mtx
+    (exercises the native mmap+OpenMP parser end-to-end)."""
+    if os.path.exists(path):
+        return path
+    rng = np.random.default_rng(seed)
+    m = n * avg_deg // 2
+    w = (np.arange(n, dtype=np.float64) + 1.0) ** -0.5
+    w /= w.sum()
+    src = rng.integers(0, n, size=m, dtype=np.int64)
+    dst = rng.choice(n, size=m, p=w).astype(np.int64)
+    keep = src != dst
+    src, dst = src[keep], dst[keep]
+    lo = np.minimum(src, dst) + 1
+    hi = np.maximum(src, dst) + 1
+    t0 = time.time()
+    with open(path, "w") as f:
+        f.write("%%MatrixMarket matrix coordinate pattern symmetric\n")
+        f.write(f"{n} {n} {len(lo)}\n")
+        chunk = 4_000_000
+        for i in range(0, len(lo), chunk):
+            np.savetxt(f, np.column_stack([hi[i : i + chunk], lo[i : i + chunk]]),
+                       fmt="%d %d")
+    print(f"wrote {path} ({len(lo)} upper-tri edges) in {time.time()-t0:.1f}s",
+          flush=True)
+    return path
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=1_500_000)
+    ap.add_argument("--deg", type=int, default=34)
+    ap.add_argument("--iters", type=int, default=300)
+    ap.add_argument("--eval-size", type=int, default=100_000)
+    args = ap.parse_args()
+
+    path = synth_big(args.n, args.deg)
+    size_mb = os.path.getsize(path) / 1e6
+
+    from force2vec_tpu.graphs.io import load_graph
+
+    t0 = time.perf_counter()
+    graph = load_graph(path)
+    load_s = time.perf_counter() - t0
+    print(f"native load: n={graph.n} nnz={graph.nnz} in {load_s:.2f}s "
+          f"({size_mb:.0f} MB .mtx)", flush=True)
+
+    import jax
+
+    from force2vec_tpu.train.sync import SyncForce2Vec
+    from force2vec_tpu.train.trainer import TrainConfig
+
+    cfg = TrainConfig(dim=128, model="tdist", ns=5, batch_size=256,
+                      gather_dtype="bfloat16")
+    t0 = time.perf_counter()
+    fv = SyncForce2Vec(graph, cfg, min_width=8, hub_width=128)
+    layout_s = time.perf_counter() - t0
+    print(f"layout build: {layout_s:.2f}s padded_edges={fv.layout.padded_edges}",
+          flush=True)
+
+    x = fv.init_embedding(seed=1)
+    key = jax.random.PRNGKey(1)
+    x = fv._train_jit(fv._garr, x, key, 3, 0)
+    np.asarray(x).ravel()[:1]
+    t0 = time.perf_counter()
+    x = fv._train_jit(fv._garr, x, key, args.iters, 3)
+    np.asarray(x).ravel()[:1]
+    train_s = time.perf_counter() - t0
+    ups = (graph.nnz + graph.n * cfg.ns) * args.iters / train_s
+    print(f"train: {args.iters} iters in {train_s:.1f}s = {ups/1e6:.1f} M updates/s",
+          flush=True)
+    emb = fv.unpad_embedding(x)
+
+    # subsampled link prediction (reference: biglinkprediction.py evaluates
+    # on the first `size` vertices)
+    from force2vec_tpu.eval.linkpred import link_prediction_scores
+
+    t0 = time.perf_counter()
+    sub_nodes = np.arange(args.eval_size)
+    sub = graph.induced_subgraph(sub_nodes)
+    scores = link_prediction_scores(sub, emb[: args.eval_size], seed=0)
+    eval_s = time.perf_counter() - t0
+    print(f"eval (first {args.eval_size} nodes, {sub.nnz} edges): {scores} "
+          f"in {eval_s:.1f}s", flush=True)
+
+    out = {
+        "graph": {"n": graph.n, "nnz": graph.nnz, "mtx_mb": round(size_mb, 1)},
+        "load_seconds": round(load_s, 2),
+        "layout_seconds": round(layout_s, 2),
+        "train": {
+            "iters": args.iters,
+            "seconds": round(train_s, 2),
+            "m_updates_per_s": round(ups / 1e6, 2),
+            "schedule": "sync",
+            "dim": 128,
+        },
+        "eval": {"subsample": args.eval_size, **{k: round(v, 4) for k, v in scores.items()}},
+    }
+    with open(os.path.join(REPO, "BIGRUN.json"), "w") as f:
+        json.dump(out, f, indent=2)
+    print("wrote BIGRUN.json", flush=True)
+
+
+if __name__ == "__main__":
+    main()

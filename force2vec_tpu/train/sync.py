@@ -163,14 +163,20 @@ class SyncForce2Vec:
 
         gdt = None if cfg.gather_dtype is None else jnp.dtype(cfg.gather_dtype)
 
-        def force_sum(kind, xi, xj, dg, invd, step):
-            """Masked force sum over the K axis: Pallas kernel or jnp."""
-            if xj.dtype != xi.dtype:  # low-precision gather replica
-                xj = xj.astype(xi.dtype)
-            if use_pallas:
+        def force_sum(kind, xi, xj, dg, invd, step, pallas_ok=True):
+            """Masked force sum over the K axis: Pallas kernel or jnp.
+
+            ``pallas_ok=False`` keeps jnp for inputs that are themselves
+            cheap broadcasts/expands (e.g. group-shared negatives): the
+            fusion-opaque kernel would force them to materialize in HBM,
+            while the jnp chain fuses the expand away.
+            """
+            if use_pallas and pallas_ok:
                 from force2vec_tpu.ops.pallas_force import ell_force
 
                 return ell_force(model, kind, xi, xj, dg, invd, step)
+            if xj.dtype != xi.dtype:  # low-precision gather replica
+                xj = xj.astype(xi.dtype)
             k = xj.shape[1]
             if kind == "edge":
                 f = model.edge_force(
@@ -239,6 +245,7 @@ class SyncForce2Vec:
             local, off = shard_rows(n_pad)
             r0 = off()
             xi = jax.lax.dynamic_slice(x, (r0, 0), (local, dim))
+            pallas_ok = True
             if negs.shape[0] == n_pad:
                 # per-row samples ([n_pad, ns]): one bulk gather
                 nb = jax.lax.dynamic_slice(negs, (r0, 0), (local, ns))
@@ -253,9 +260,12 @@ class SyncForce2Vec:
                 )
                 gid = (r0 + jnp.arange(local, dtype=jnp.int32)) // jnp.int32(group)
                 s = jnp.take(sg, gid, axis=0)
+                pallas_ok = False  # fused jnp chain absorbs the group expand
             full = jnp.full((local,), ns, dtype=jnp.int32)
             invd0 = jnp.zeros((local,), dtype=x.dtype)
-            return gathered(force_sum("sample", xi, s, full, invd0, step))
+            return gathered(
+                force_sum("sample", xi, s, full, invd0, step, pallas_ok=pallas_ok)
+            )
 
         def iteration(garr, x, negs, walks, step):
             step = jnp.asarray(step, dtype=x.dtype)
