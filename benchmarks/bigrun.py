@@ -83,10 +83,13 @@ def main():
 
     x = fv.init_embedding(seed=1)
     key = jax.random.PRNGKey(1)
-    x = fv._train_jit(fv._garr, x, key, 3, 0)
+    # warmup with the SAME span length as the timed run: the train entry
+    # compiles one program per iteration count, and a shorter warmup span
+    # would leave the real compile inside the timed region.
+    x = fv._train_jit(fv._garr, x, key, args.iters, 0)
     np.asarray(x).ravel()[:1]
     t0 = time.perf_counter()
-    x = fv._train_jit(fv._garr, x, key, args.iters, 3)
+    x = fv._train_jit(fv._garr, x, key, args.iters, args.iters)
     np.asarray(x).ravel()[:1]
     train_s = time.perf_counter() - t0
     ups = (graph.nnz + graph.n * cfg.ns) * args.iters / train_s

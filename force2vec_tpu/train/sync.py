@@ -54,6 +54,7 @@ class SyncForce2Vec:
         hub_width: int = 256,
         row_align: int = 8,
         use_pallas: Optional[bool] = None,
+        tile_budget_bytes: int = 256 * 1024 * 1024,
     ):
         self.graph = graph
         self.config = config
@@ -71,6 +72,7 @@ class SyncForce2Vec:
         if use_pallas is None:
             use_pallas = jax.default_backend() != "cpu"
         self.use_pallas = bool(use_pallas)
+        self.tile_budget_bytes = int(tile_budget_bytes)
         self.layout = SyncLayout.build(
             graph, min_width=min_width, hub_width=hub_width, row_align=row_align
         )
@@ -163,6 +165,23 @@ class SyncForce2Vec:
 
         gdt = None if cfg.gather_dtype is None else jnp.dtype(cfg.gather_dtype)
 
+        # The bulk neighbor gather materializes a [rows, K, dim] tile in HBM
+        # before the force sweep streams it.  On big graphs one bucket's tile
+        # can exceed the whole HBM (n=1.5M, K=64 → ~8 GB), so every sweep is
+        # chunked: no single materialized tile may exceed this budget.  The
+        # chunks are independent slices of the same bucket; their results
+        # concatenate in row order, so semantics are unchanged.
+        tile_budget_bytes = self.tile_budget_bytes
+        gsize = (gdt or self._dtype).itemsize
+
+        def chunk_spans(local: int, width: int):
+            """Static [(row_offset, row_count)] covering [0, local)."""
+            cap = tile_budget_bytes // max(width * dim * gsize, 1)
+            cap = max(8, (cap // 8) * 8)
+            if local <= cap:
+                return [(0, local)]
+            return [(o, min(cap, local - o)) for o in range(0, local, cap)]
+
         def force_sum(kind, xi, xj, dg, invd, step, pallas_ok=True):
             """Masked force sum over the K axis: Pallas kernel or jnp.
 
@@ -205,20 +224,32 @@ class SyncForce2Vec:
             parts = []
             for bi, width, start, count, real, is_hub in bucket_meta:
                 local, off = shard_rows(count)
-                r0 = off()
-                nbr = jax.lax.dynamic_slice(
-                    g[f"nbr{bi}"], (r0, 0), (local, width)
-                )
-                dg = jax.lax.dynamic_slice(g[f"deg{bi}"], (r0,), (local,))
-                if is_hub:
-                    owners = jax.lax.dynamic_slice(g[f"own{bi}"], (r0,), (local,))
-                    xi = jnp.take(x, owners + jnp.int32(start), axis=0)
-                    invd = jnp.take(g["inv_deg"], owners + jnp.int32(start))
-                else:
-                    xi = jax.lax.dynamic_slice(x, (start + r0, 0), (local, dim))
-                    invd = jax.lax.dynamic_slice(g["inv_deg"], (start + r0,), (local,))
-                xj = jnp.take(xg, nbr.reshape(-1), axis=0).reshape(local, width, dim)
-                part = force_sum("edge", xi, xj, dg, invd, step)
+                base = off()
+                chunks = []
+                for c_off, c_rows in chunk_spans(local, width):
+                    r0 = base + jnp.int32(c_off)
+                    nbr = jax.lax.dynamic_slice(
+                        g[f"nbr{bi}"], (r0, 0), (c_rows, width)
+                    )
+                    dg = jax.lax.dynamic_slice(g[f"deg{bi}"], (r0,), (c_rows,))
+                    if is_hub:
+                        owners = jax.lax.dynamic_slice(
+                            g[f"own{bi}"], (r0,), (c_rows,)
+                        )
+                        xi = jnp.take(x, owners + jnp.int32(start), axis=0)
+                        invd = jnp.take(g["inv_deg"], owners + jnp.int32(start))
+                    else:
+                        xi = jax.lax.dynamic_slice(
+                            x, (start + r0, 0), (c_rows, dim)
+                        )
+                        invd = jax.lax.dynamic_slice(
+                            g["inv_deg"], (start + r0,), (c_rows,)
+                        )
+                    xj = jnp.take(xg, nbr.reshape(-1), axis=0).reshape(
+                        c_rows, width, dim
+                    )
+                    chunks.append(force_sum("edge", xi, xj, dg, invd, step))
+                part = chunks[0] if len(chunks) == 1 else jnp.concatenate(chunks)
                 part = gathered(part)  # [count, dim] on every rank
                 if is_hub:
                     part = jax.ops.segment_sum(part, g[f"own{bi}"], num_segments=real)
@@ -231,40 +262,58 @@ class SyncForce2Vec:
 
         def attraction_walk(g, x, xg, walks, step):
             local, off = shard_rows(n_pad)
-            r0 = off()
-            wb = jax.lax.dynamic_slice(walks, (r0, 0), (local, wl))
-            xi = jax.lax.dynamic_slice(x, (r0, 0), (local, dim))
-            invd = jax.lax.dynamic_slice(g["inv_deg"], (r0,), (local,))
-            xj = jnp.take(xg, wb.reshape(-1), axis=0).reshape(local, wl, dim)
-            full = jnp.full((local,), wl, dtype=jnp.int32)
-            return gathered(force_sum("edge", xi, xj, full, invd, step))
+            base = off()
+            chunks = []
+            for c_off, c_rows in chunk_spans(local, wl):
+                r0 = base + jnp.int32(c_off)
+                wb = jax.lax.dynamic_slice(walks, (r0, 0), (c_rows, wl))
+                xi = jax.lax.dynamic_slice(x, (r0, 0), (c_rows, dim))
+                invd = jax.lax.dynamic_slice(g["inv_deg"], (r0,), (c_rows,))
+                xj = jnp.take(xg, wb.reshape(-1), axis=0).reshape(c_rows, wl, dim)
+                full = jnp.full((c_rows,), wl, dtype=jnp.int32)
+                chunks.append(force_sum("edge", xi, xj, full, invd, step))
+            part = chunks[0] if len(chunks) == 1 else jnp.concatenate(chunks)
+            return gathered(part)
 
         group = max(cfg.batch_size, 1)
 
         def repulsion(x, xg, negs, step):
             local, off = shard_rows(n_pad)
             r0 = off()
-            xi = jax.lax.dynamic_slice(x, (r0, 0), (local, dim))
-            pallas_ok = True
             if negs.shape[0] == n_pad:
-                # per-row samples ([n_pad, ns]): one bulk gather
-                nb = jax.lax.dynamic_slice(negs, (r0, 0), (local, ns))
-                s = jnp.take(xg, nb.reshape(-1), axis=0).reshape(local, ns, dim)
-            else:
-                # grouped samples ([ng, ns]): each batch_size-row group
-                # shares one ns-sample set — the reference's own option-5
-                # sampling pattern (sample/algorithms.cpp:577-586), and the
-                # repulsion gather collapses from n·ns rows to ng·ns rows.
-                sg = jnp.take(xg, negs.reshape(-1), axis=0).reshape(
-                    negs.shape[0], ns, dim
-                )
-                gid = (r0 + jnp.arange(local, dtype=jnp.int32)) // jnp.int32(group)
-                s = jnp.take(sg, gid, axis=0)
-                pallas_ok = False  # fused jnp chain absorbs the group expand
+                # per-row samples ([n_pad, ns]): bulk gathers, chunked
+                base = r0
+                chunks = []
+                for c_off, c_rows in chunk_spans(local, ns):
+                    r0c = base + jnp.int32(c_off)
+                    xi = jax.lax.dynamic_slice(x, (r0c, 0), (c_rows, dim))
+                    nb = jax.lax.dynamic_slice(negs, (r0c, 0), (c_rows, ns))
+                    s = jnp.take(xg, nb.reshape(-1), axis=0).reshape(
+                        c_rows, ns, dim
+                    )
+                    full = jnp.full((c_rows,), ns, dtype=jnp.int32)
+                    invd0 = jnp.zeros((c_rows,), dtype=x.dtype)
+                    chunks.append(
+                        force_sum("sample", xi, s, full, invd0, step)
+                    )
+                part = chunks[0] if len(chunks) == 1 else jnp.concatenate(chunks)
+                return gathered(part)
+            # grouped samples ([ng, ns]): each batch_size-row group shares
+            # one ns-sample set — the reference's own option-5 sampling
+            # pattern (sample/algorithms.cpp:577-586), and the repulsion
+            # gather collapses from n·ns rows to ng·ns rows.  Stays on the
+            # jnp path: the fused chain absorbs the group expand, which the
+            # fusion-opaque Pallas kernel would force to materialize.
+            xi = jax.lax.dynamic_slice(x, (r0, 0), (local, dim))
+            sg = jnp.take(xg, negs.reshape(-1), axis=0).reshape(
+                negs.shape[0], ns, dim
+            )
+            gid = (r0 + jnp.arange(local, dtype=jnp.int32)) // jnp.int32(group)
+            s = jnp.take(sg, gid, axis=0)
             full = jnp.full((local,), ns, dtype=jnp.int32)
             invd0 = jnp.zeros((local,), dtype=x.dtype)
             return gathered(
-                force_sum("sample", xi, s, full, invd0, step, pallas_ok=pallas_ok)
+                force_sum("sample", xi, s, full, invd0, step, pallas_ok=False)
             )
 
         def iteration(garr, x, negs, walks, step):

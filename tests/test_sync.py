@@ -105,6 +105,28 @@ def test_sync_layout_covers_all_edges(small_graph):
     assert want.issubset(set(got))
 
 
+def test_sync_chunked_matches_unchunked(small_graph):
+    """A tiny tile budget forces every bucket sweep into many chunks; the
+    result must equal the single-chunk program exactly (chunking only
+    splits the gather/sweep into independent row slices)."""
+    cfg = TrainConfig(
+        dim=DIM, batch_size=small_graph.n, model="tdist", ns=4,
+        per_vertex_samples=True,
+    )
+    big = SyncForce2Vec(small_graph, cfg, min_width=4, hub_width=16)
+    tiny = SyncForce2Vec(
+        small_graph, cfg, min_width=4, hub_width=16, tile_budget_bytes=2048
+    )
+    rng = np.random.default_rng(3)
+    x0 = (rng.random((small_graph.n, DIM)) * 2 - 1).astype(np.float32)
+    negs = rng.integers(
+        0, small_graph.n, size=(big.layout.n_pad, 4)
+    ).astype(np.int32)
+    xa = big.run_iteration(big.pad_embedding(x0), negs)
+    xb = tiny.run_iteration(tiny.pad_embedding(x0), negs)
+    np.testing.assert_array_equal(np.asarray(xa), np.asarray(xb))
+
+
 def test_sync_quality_karate():
     import os
 
