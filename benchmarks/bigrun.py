@@ -81,16 +81,22 @@ def main():
     print(f"layout build: {layout_s:.2f}s padded_edges={fv.layout.padded_edges}",
           flush=True)
 
+    def fetch1(arr):
+        """Force completion via a 4-byte device-side slice — the remote-TPU
+        tunnel moves ~40 MB/s, so fetching the full [n_pad, 128] table inside
+        the timed region would swamp the measurement."""
+        return np.asarray(jax.jit(lambda a: a.reshape(-1)[:1])(arr))
+
     x = fv.init_embedding(seed=1)
     key = jax.random.PRNGKey(1)
     # warmup with the SAME span length as the timed run: the train entry
     # compiles one program per iteration count, and a shorter warmup span
     # would leave the real compile inside the timed region.
     x = fv._train_jit(fv._garr, x, key, args.iters, 0)
-    np.asarray(x).ravel()[:1]
+    fetch1(x)
     t0 = time.perf_counter()
     x = fv._train_jit(fv._garr, x, key, args.iters, args.iters)
-    np.asarray(x).ravel()[:1]
+    fetch1(x)
     train_s = time.perf_counter() - t0
     ups = (graph.nnz + graph.n * cfg.ns) * args.iters / train_s
     print(f"train: {args.iters} iters in {train_s:.1f}s = {ups/1e6:.1f} M updates/s",
