@@ -73,9 +73,13 @@ def main():
     span_b = int(os.environ.get("BENCH_SPAN_B", 230))
     reps = int(os.environ.get("BENCH_REPS", 2))
 
+    # one module-level jitted fence — a fresh jit(lambda) per call would
+    # retrace and inflate the printed dispatch_s
+    _fence = jax.jit(lambda a: a.reshape(-1)[:1])
+
     def fetch1(arr):
         """Force completion with a 4-byte device-side slice."""
-        return np.asarray(jax.jit(lambda a: a.reshape(-1)[:1])(arr))
+        return np.asarray(_fence(arr))
 
     graph = synth_powerlaw_graph(n=n, avg_deg=avg_deg)
     # bf16 gather replica by default (quality-gated vs the golden artifact
@@ -128,8 +132,15 @@ def main():
             fetch1(xx)
             best = min(best, time.perf_counter() - t1)
         times[span] = best
+    assert span_b > span_a, f"BENCH_SPAN_B ({span_b}) must exceed A ({span_a})"
     sec_per_iter = (times[span_b] - times[span_a]) / (span_b - span_a)
     dispatch_s = times[span_a] - span_a * sec_per_iter
+    # sanity: a noise-driven non-positive slope must fail loudly, not
+    # publish an absurd headline number
+    assert sec_per_iter > 0, (
+        f"non-positive span slope ({times}); rerun with wider spans")
+    assert dispatch_s > -0.25 * times[span_a], (
+        f"negative dispatch intercept ({dispatch_s:.3f}s) — slope unstable")
 
     updates_per_iter = graph.nnz + graph.n * cfg.ns
     mups = updates_per_iter / sec_per_iter / 1e6
@@ -143,7 +154,9 @@ def main():
     roof_pct = None
     if os.environ.get("BENCH_SKIP_ROOFLINE", "") != "1":
         gd = jnp.bfloat16 if gather_dtype else jnp.float32
-        xg = jnp.asarray(np.zeros((graph.n, 128), np.float32), dtype=gd)
+        # created on device — pushing host zeros through the ~40 MB/s
+        # tunnel costs ~1.7 s of wall for nothing
+        xg = jnp.zeros((graph.n, 128), dtype=gd)
         m_idx = min(rows_per_iter, 2_000_000)
         idx = jax.random.randint(jax.random.PRNGKey(3), (m_idx,), 0, graph.n,
                                  jnp.int32)
@@ -160,10 +173,13 @@ def main():
         gt = {}
         for loops in (5, 30):
             g = graze_for(loops)
-            float(g(xg, idx))
-            t1 = time.perf_counter()
-            float(g(xg, idx))
-            gt[loops] = time.perf_counter() - t1
+            float(g(xg, idx))  # compile + warmup
+            best = float("inf")
+            for _ in range(max(reps, 2)):  # min-of-reps, like the train slope
+                t1 = time.perf_counter()
+                float(g(xg, idx))
+                best = min(best, time.perf_counter() - t1)
+            gt[loops] = best
         gather_rate = m_idx * (30 - 5) / (gt[30] - gt[5])
         roofline_mups = updates_per_iter / (rows_per_iter / gather_rate) / 1e6
         roof_pct = 100.0 * mups / roofline_mups

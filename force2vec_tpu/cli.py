@@ -93,10 +93,18 @@ def main(argv=None) -> int:
         per_vertex_samples=(args.bs == 1),
         gather_dtype=args.gather_dtype,
     )
-    fv = Force2Vec(graph, cfg)
+    # The batch-path runner is only constructed when the batch schedule is
+    # selected — its __init__ pushes rowptr/colids/edge_src to the device,
+    # which at com-Orkut scale is ~2 GB of duplicate HBM for nothing when
+    # --schedule sync|vertex builds its own layout.
+    from force2vec_tpu.models.forces import get_model
+
+    model_obj = get_model(model)
+    batch_display = min(cfg.batch_size, graph.n)
     print(
-        f"graph {args.input}: n={graph.n} nnz={graph.nnz}; model={fv.model.name} "
-        f"dim={cfg.dim} batch={fv.dg.batch_size} ns={cfg.ns} lr={fv.lr}"
+        f"graph {args.input}: n={graph.n} nnz={graph.nnz}; model={model_obj.name} "
+        f"dim={cfg.dim} batch={batch_display} ns={cfg.ns} "
+        f"lr={cfg.resolve_lr(model_obj)}"
     )
 
     if args.gather_dtype and args.schedule != "sync":
@@ -144,13 +152,13 @@ def main(argv=None) -> int:
 
             runner = ShardedSyncForce2Vec(graph, cfg, mesh)
         else:
-            runner = ShardedForce2Vec(fv, mesh)
+            runner = ShardedForce2Vec(Force2Vec(graph, cfg), mesh)
     elif args.schedule == "sync":
         from force2vec_tpu.train.sync import SyncForce2Vec
 
         runner = SyncForce2Vec(graph, cfg)
     else:
-        runner = fv
+        runner = Force2Vec(graph, cfg)
 
     t0 = time.perf_counter()
     if args.checkpoint_every > 0 or args.resume:
@@ -178,7 +186,7 @@ def main(argv=None) -> int:
     # output name parity: <graph><ALGO><B>D<D>IT<it>NS<ns>.embd
     # (algorithms.cpp:650; writeToFile, algorithms.h:118-136)
     base = os.path.basename(args.input)
-    tag = f"F2V{fv.model.name.upper()}{fv.dg.batch_size}D{cfg.dim}IT{args.iter}NS{cfg.ns}"
+    tag = f"F2V{model_obj.name.upper()}{batch_display}D{cfg.dim}IT{args.iter}NS{cfg.ns}"
     out_dir = args.output or "."
     os.makedirs(out_dir, exist_ok=True)
     out_path = os.path.join(out_dir, base + tag + ".embd")
@@ -189,8 +197,8 @@ def main(argv=None) -> int:
     # Results.txt ledger row (Test/Force2Vec.cpp:191-198 schema)
     with open(os.path.join(out_dir, "Results.txt"), "a") as f:
         f.write(
-            f"{fv.model.name}\tInit\tIteration:{args.iter}\t"
-            f"Numofthreads:{args.threads}\tBatchSize:{fv.dg.batch_size}\t"
+            f"{model_obj.name}\tInit\tIteration:{args.iter}\t"
+            f"Numofthreads:{args.threads}\tBatchSize:{batch_display}\t"
             f"Dimension:{cfg.dim}\tTime(sec.):{train_s:.4f}\n"
         )
 

@@ -25,21 +25,33 @@ import numpy as np
 from force2vec_tpu.graphs.csr import Graph
 
 
-def _is_edge(graph: Graph, u: np.ndarray, v: np.ndarray) -> np.ndarray:
-    """Vectorized CSR membership test: True where (u, v) is an edge.
+def _edge_keys(graph: Graph) -> np.ndarray:
+    """Sorted composite keys ``u·n + v`` of all edges — build ONCE per
+    dataset (the O(nnz) repeat + key array is ~2 GB of temporaries at
+    com-Orkut scale, so it must not be rebuilt per rejection round)."""
+    n = np.int64(graph.n)
+    src = np.repeat(np.arange(graph.n, dtype=np.int64), graph.degrees)
+    return src * n + graph.colids.astype(np.int64)
+
+
+def _is_edge_keys(keys: np.ndarray, n: int, u: np.ndarray, v: np.ndarray) -> np.ndarray:
+    """Vectorized CSR membership test against precomputed ``_edge_keys``.
 
     Per-row binary search over the row-sorted colids, phrased as one
     ``searchsorted`` against the composite key ``u·n + v`` (monotone because
     the CSR is sorted by row then column, Graph.from_coo).  O(q·log nnz)
     with no Python loops — usable at com-Orkut scale, unlike a Python edge
     set (the reference's networkx ``G.has_edge`` equivalent)."""
-    n = np.int64(graph.n)
-    src = np.repeat(np.arange(graph.n, dtype=np.int64), graph.degrees)
-    keys = src * n + graph.colids.astype(np.int64)
-    q = u.astype(np.int64) * n + v.astype(np.int64)
+    q = u.astype(np.int64) * np.int64(n) + v.astype(np.int64)
     pos = np.searchsorted(keys, q)
     pos = np.minimum(pos, len(keys) - 1) if len(keys) else pos
     return (len(keys) > 0) & (keys[pos] == q)
+
+
+def _is_edge(graph: Graph, u: np.ndarray, v: np.ndarray) -> np.ndarray:
+    """One-shot membership test (builds the key array; hoist via
+    ``_edge_keys`` when calling repeatedly)."""
+    return _is_edge_keys(_edge_keys(graph), graph.n, u, v)
 
 
 def _edge_features(xu: np.ndarray, xv: np.ndarray, dist: str) -> np.ndarray:
@@ -78,8 +90,9 @@ def make_link_prediction_data(
     # membership is a vectorized binary search (scales to com-Orkut, unlike
     # a Python edge set)
     nv = rng.integers(0, n, size=nu.shape[0])
+    keys = _edge_keys(graph)  # hoisted: one O(nnz) build for all rounds
     for _ in range(30):
-        bad = _is_edge(graph, nu, nv) | (nu == nv)
+        bad = _is_edge_keys(keys, n, nu, nv) | (nu == nv)
         if not bad.any():
             break
         nv[bad] = rng.integers(0, n, size=int(bad.sum()))

@@ -34,14 +34,17 @@ from jax.experimental.pallas import tpu as pltpu
 from force2vec_tpu.models.forces import ForceModel
 
 # VMEM budget per xj tile (bytes).  The force chain's temporaries (diff,
-# per-edge scalars, masked product) cost several tile-sized VMEM buffers on
-# top of the double-buffered input, so the tile itself must stay well under
-# the 16 MB scoped-vmem limit.
-_TILE_BYTES = 1024 * 1024
+# per-edge scalars, masked product) cost several f32 tile-sized VMEM
+# buffers on top of the double-buffered input, so the tile itself must stay
+# well under the 16 MB scoped-vmem limit.  Sized against the f32 temporary
+# footprint with the K axis rounded up to the 8-sublane tile (non-multiple
+# K widths such as 12/20/28 are padded by Mosaic).
+_TILE_BYTES = 512 * 1024
 
 
 def _tile_rows(k: int, d: int, itemsize: int) -> int:
-    t = _TILE_BYTES // max(k * d * itemsize, 1)
+    k_pad = -(-k // 8) * 8  # sublane-rounded K as Mosaic lays it out
+    t = _TILE_BYTES // max(k_pad * d * 4, 1)
     t = max(8, min(1024, t))
     return (t // 8) * 8
 

@@ -54,7 +54,8 @@ class SyncForce2Vec:
         hub_width: int = 256,
         row_align: int = 8,
         use_pallas: Optional[bool] = None,
-        tile_budget_bytes: int = 256 * 1024 * 1024,
+        tile_budget_bytes: int = 1024 * 1024 * 1024,
+        width_scheme: str = "mult4",
     ):
         self.graph = graph
         self.config = config
@@ -73,8 +74,14 @@ class SyncForce2Vec:
             use_pallas = jax.default_backend() != "cpu"
         self.use_pallas = bool(use_pallas)
         self.tile_budget_bytes = int(tile_budget_bytes)
+        # mult4 width ladder: cuts ELL padding (= bulk-gather rows, the
+        # iteration's dominant cost — the take runs at a flat ~450 M rows/s
+        # regardless of index values) from 1.39x to 1.11x nnz on the
+        # headline bench graph.  See benchmarks/exp_r3.py + PERF.md.
         self.layout = SyncLayout.build(
-            graph, min_width=min_width, hub_width=hub_width, row_align=row_align
+            graph, min_width=min_width, hub_width=hub_width,
+            row_align=row_align,
+            widths=SyncLayout.widths_for(min_width, hub_width, width_scheme),
         )
         self.lr = config.resolve_lr(self.model)
         self._dtype = jnp.dtype(config.dtype)
@@ -104,8 +111,17 @@ class SyncForce2Vec:
 
         self._iteration = self._build_iteration_fn()
         train = self._build_train_fn()
+        # The jitted program CLOSES OVER the graph arrays instead of taking
+        # them as parameters: measured on v5e this is worth ~2.9 ms/iter
+        # (~25%) at the headline bench size — as captured constants XLA owns
+        # their layout and hoists the index-table preprocessing out of the
+        # loop, which it cannot do for caller-supplied parameters
+        # (benchmarks/exp_r3.py trainwrap).  The runner-protocol ``g``
+        # argument is accepted and ignored.
         self._train_jit = make_train_dispatcher(
-            lambda k: jax.jit(lambda g, x, key, off: train(g, x, key, k, off))
+            lambda k: (
+                lambda jf: (lambda g, x, key, off: jf(x, key, off))
+            )(jax.jit(lambda x, key, off: train(self._garr, x, key, k, off)))
         )
 
     # -- embedding layout ---------------------------------------------------

@@ -129,8 +129,14 @@ class Force2Vec:
 
         self._iteration = self._build_iteration_fn()
         train = self._build_train_fn()
+        # Close over the graph arrays (captured constants) rather than pass
+        # them as jit parameters — worth ~25% per iteration on v5e; see
+        # train/sync.py and benchmarks/exp_r3.py (trainwrap).  The ``g``
+        # runner-protocol argument is accepted and ignored.
         self._train_jit = make_train_dispatcher(
-            lambda k: jax.jit(lambda g, x, key, off: train(g, x, key, k, off))
+            lambda k: (
+                lambda jf: (lambda g, x, key, off: jf(x, key, off))
+            )(jax.jit(lambda x, key, off: train(self._garr, x, key, k, off)))
         )
 
     # -- initialization ----------------------------------------------------
