@@ -82,8 +82,12 @@ def main():
         return np.asarray(_fence(arr))
 
     graph = synth_powerlaw_graph(n=n, avg_deg=avg_deg)
-    # bf16 gather replica by default (quality-gated vs the golden artifact
-    # in tests/test_golden.py); BENCH_GATHER_DTYPE=float32 opts out.
+    # bf16 gather replica by default.  This EXACT configuration (sync +
+    # 256-row group-shared negatives + bf16 gathers) is golden-gated in
+    # tests/test_golden.py::test_bench_config_quality_gate, and grouped
+    # negatives are oracle-parity-tested in
+    # tests/test_sync.py::test_sync_grouped_negatives_match_expanded.
+    # BENCH_GATHER_DTYPE=float32 opts out.
     gather_dtype = os.environ.get("BENCH_GATHER_DTYPE", "bfloat16")
     if gather_dtype in ("", "none", "float32"):
         gather_dtype = None

@@ -94,6 +94,30 @@ def test_pubmed_quality_gate():
     assert o["auc"] >= 0.80, o
 
 
+def test_bench_config_quality_gate(cora, golden_emb):
+    """Golden gate at EXACTLY bench.py's headline configuration: sync
+    schedule, tdist, dim=128, ns=5, 256-row group-shared negatives
+    (per_vertex_samples=False, batch_size=256), bf16 gather replica.
+    Gates the benched number's quality (VERDICT r2 missing item #5);
+    bench.py cites this test."""
+    from force2vec_tpu.train.sync import SyncForce2Vec
+
+    fv = SyncForce2Vec(
+        cora,
+        TrainConfig(
+            dim=128, model="tdist", ns=5, batch_size=256,
+            per_vertex_samples=False, gather_dtype="bfloat16",
+        ),
+        min_width=8,
+        hub_width=128,
+    )
+    ours = fv.train(iters=600, seed=1)
+    g = link_prediction_scores(cora, golden_emb, seed=0)
+    o = link_prediction_scores(cora, ours, seed=0)
+    assert o["auc"] >= g["auc"] - 0.02, (o, g)
+    assert o["accuracy"] >= g["accuracy"] - 0.03, (o, g)
+
+
 def test_bf16_gather_quality_parity(cora, golden_emb):
     """The mixed-precision gather replica (gather_dtype='bfloat16') must
     reach golden-level downstream quality — it changes only the precision
