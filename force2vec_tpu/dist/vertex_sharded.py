@@ -160,6 +160,12 @@ class VertexShardedForce2Vec:
     def unpad_embedding(self, x) -> np.ndarray:
         """Device [P·n_loc, D] sharded → host [n, D] original order."""
         lay = self.layout
+        if jax.process_count() > 1:
+            # shards on other processes are not addressable here; one
+            # cross-process allgather assembles the global table
+            from jax.experimental import multihost_utils
+
+            x = multihost_utils.process_allgather(x, tiled=True)
         x = np.asarray(x)
         g = lay.inv_perm[np.arange(lay.n)]
         return x[lay.shard_of[g] * lay.n_loc + lay.lrow_of[g]]

@@ -1,12 +1,14 @@
-"""Worker for the multi-process distributed test (test_multihost.py).
+"""Worker for the multi-process distributed tests (test_multihost.py).
 
-Usage: python _mp_worker.py <coordinator> <num_procs> <proc_id> <out_dir>
+Usage: python _mp_worker.py <coordinator> <num_procs> <proc_id> <out_dir> [mode]
 
 Each process exposes 2 virtual CPU devices; together they form a 4-device
-(dp=2, tp=2) pod mesh spanning 2 OS processes.  Every process trains the
-same 3 sync iterations on karate and writes its (replicated) result; the
-test asserts both processes produced the single-process answer — i.e. the
-cross-process collectives (psum over tp, all_gather over dp) really ran.
+pod mesh spanning 2 OS processes.  mode='sharded' (default) trains the
+replicated-X dp=2 x tp=2 schedule; mode='vp' trains the vertex-sharded
+schedule (X partitioned over vp=4, the mode built precisely for crossing
+host boundaries) so its all_to_all / all_gather / psum path runs across a
+real process boundary.  Every process writes its result; the test asserts
+both match the single-process answer.
 """
 
 import os
@@ -15,6 +17,7 @@ import sys
 
 def main():
     coord, nproc, pid, out_dir = sys.argv[1:5]
+    mode = sys.argv[5] if len(sys.argv) > 5 else "sharded"
     os.environ["JAX_PLATFORMS"] = "cpu"
     os.environ["XLA_FLAGS"] = (
         os.environ.get("XLA_FLAGS", "")
@@ -32,14 +35,25 @@ def main():
 
     import numpy as np
 
-    from force2vec_tpu.dist.sharded import ShardedSyncForce2Vec
     from force2vec_tpu.graphs.io import read_mtx
     from force2vec_tpu.train.trainer import TrainConfig
 
     graph = read_mtx("/root/reference/datasets/input/karate.mtx")
     cfg = TrainConfig(dim=8, model="tdist", ns=3)
-    mesh = pod_mesh(tp=2)
-    runner = ShardedSyncForce2Vec(graph, cfg, mesh, min_width=4, hub_width=8)
+    if mode == "vp":
+        from force2vec_tpu.dist.vertex_sharded import (
+            VertexShardedForce2Vec,
+            make_vp_mesh,
+        )
+
+        runner = VertexShardedForce2Vec(
+            graph, cfg, make_vp_mesh(), min_width=4, hub_width=8
+        )
+    else:
+        from force2vec_tpu.dist.sharded import ShardedSyncForce2Vec
+
+        mesh = pod_mesh(tp=2)
+        runner = ShardedSyncForce2Vec(graph, cfg, mesh, min_width=4, hub_width=8)
     emb = runner.train(iters=3, seed=4)
     np.save(os.path.join(out_dir, f"emb_{pid}.npy"), emb)
     print(f"proc {pid}: ok", flush=True)

@@ -32,12 +32,10 @@ def test_pod_mesh_runs_collective():
     assert float(np.asarray(out)[0]) == len(jax.devices())
 
 
-def test_two_process_sync_step_matches_single(tmp_path):
-    """SURVEY §4's multi-process simulation: two OS processes joined by
-    jax.distributed (CPU backend, 2 virtual devices each) train 3 sync
-    iterations over a (dp=2, tp=2) pod mesh; every process must produce
-    exactly the single-process result — proving the cross-process psum/
-    all_gather path, not just the single-process shard_map."""
+def _run_two_process_workers(tmp_path, mode):
+    """Launch 2 OS processes (2 virtual CPU devices each) joined by
+    jax.distributed, train 3 iterations, return nothing (results land in
+    tmp_path as emb_<pid>.npy)."""
     import os
     import socket
     import subprocess
@@ -57,7 +55,7 @@ def test_two_process_sync_step_matches_single(tmp_path):
     env.pop("PALLAS_AXON_POOL_IPS", None)
     procs = [
         subprocess.Popen(
-            [sys.executable, worker, coord, "2", str(pid), str(tmp_path)],
+            [sys.executable, worker, coord, "2", str(pid), str(tmp_path), mode],
             env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
         )
         for pid in range(2)
@@ -65,6 +63,15 @@ def test_two_process_sync_step_matches_single(tmp_path):
     outs = [p.communicate(timeout=300) for p in procs]
     for p, (out, err) in zip(procs, outs):
         assert p.returncode == 0, f"worker failed:\n{out}\n{err}"
+
+
+def test_two_process_sync_step_matches_single(tmp_path):
+    """SURVEY §4's multi-process simulation: two OS processes joined by
+    jax.distributed (CPU backend, 2 virtual devices each) train 3 sync
+    iterations over a (dp=2, tp=2) pod mesh; every process must produce
+    exactly the single-process result — proving the cross-process psum/
+    all_gather path, not just the single-process shard_map."""
+    _run_two_process_workers(tmp_path, "sharded")
 
     # single-process reference on the in-test 8-device CPU mesh
     from force2vec_tpu.dist import make_mesh
@@ -77,6 +84,33 @@ def test_two_process_sync_step_matches_single(tmp_path):
     want = ShardedSyncForce2Vec(
         graph, TrainConfig(dim=8, model="tdist", ns=3), mesh,
         min_width=4, hub_width=8,
+    ).train(iters=3, seed=4)
+
+    for pid in range(2):
+        got = np.load(str(tmp_path / f"emb_{pid}.npy"))
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+def test_two_process_vertex_sharded_matches_single(tmp_path):
+    """The vertex-sharded mode exists precisely for crossing host
+    boundaries (VERDICT r2 missing item #4): train it on a vp=4 mesh
+    spanning 2 OS processes and assert exact parity with the
+    single-process vp=4 run — the all_to_all (cold halo), all_gather
+    (hot tier), and psum (negative pool) all cross a real process
+    boundary here."""
+    _run_two_process_workers(tmp_path, "vp")
+
+    from force2vec_tpu.dist.vertex_sharded import (
+        VertexShardedForce2Vec,
+        make_vp_mesh,
+    )
+    from force2vec_tpu.graphs.io import read_mtx
+    from force2vec_tpu.train.trainer import TrainConfig
+
+    graph = read_mtx("/root/reference/datasets/input/karate.mtx")
+    want = VertexShardedForce2Vec(
+        graph, TrainConfig(dim=8, model="tdist", ns=3),
+        make_vp_mesh(jax.devices()[:4]), min_width=4, hub_width=8,
     ).train(iters=3, seed=4)
 
     for pid in range(2):
