@@ -60,13 +60,16 @@ def main():
     path = synth_big(args.n, args.deg)
     size_mb = os.path.getsize(path) / 1e6
 
+    from force2vec_tpu.graphs import io as gio
     from force2vec_tpu.graphs.io import load_graph
 
     t0 = time.perf_counter()
     graph = load_graph(path)
     load_s = time.perf_counter() - t0
-    print(f"native load: n={graph.n} nnz={graph.nnz} in {load_s:.2f}s "
-          f"({size_mb:.0f} MB .mtx)", flush=True)
+    # which parser actually ran — an artifact must never silently claim
+    # native-parser load numbers (VERDICT r2 weak #7)
+    print(f"load [{gio.last_parser} parser]: n={graph.n} nnz={graph.nnz} "
+          f"in {load_s:.2f}s ({size_mb:.0f} MB .mtx)", flush=True)
 
     import jax
 
@@ -117,6 +120,7 @@ def main():
 
     out = {
         "graph": {"n": graph.n, "nnz": graph.nnz, "mtx_mb": round(size_mb, 1)},
+        "parser": gio.last_parser,
         "load_seconds": round(load_s, 2),
         "layout_seconds": round(layout_s, 2),
         "train": {

@@ -398,6 +398,408 @@ def exp_trainwrap():
             traceback.print_exc()
             report("trainwrap", variant=name, error=str(e)[:200])
 
+# -- G: bucket-level take bisect -------------------------------------------------
+
+
+def exp_bucket():
+    """Per-bucket take rates vs one flat take of the same total rows —
+    locates the 339-vs-467 M rows/s gap inside the bucket sweep."""
+    from bench import synth_powerlaw_graph
+    from force2vec_tpu.graphs.csr import SyncLayout
+
+    graph = synth_powerlaw_graph()
+    n = graph.n
+    lay = SyncLayout.build(
+        graph, min_width=8, hub_width=128,
+        widths=SyncLayout.widths_for(8, 128, "mult4"),
+    )
+    xg = jnp.zeros((n, 128), dtype=jnp.bfloat16)
+
+    total = 0
+    for bi, b in enumerate(lay.buckets):
+        idx = jnp.asarray(b.nbr)  # [count, width]
+        rows = int(b.nbr.size)
+        total += rows
+
+        def make(loops, idx=idx):
+            @jax.jit
+            def run():
+                def body(i, c):
+                    g = jnp.take(xg, ((idx + i) % n).reshape(-1), axis=0)
+                    return c + jnp.sum(g.astype(jnp.float32))
+                return jax.lax.fori_loop(0, loops, body, jnp.float32(0))
+            return run
+
+        sec = slope_time(make, spans=(5, 30), reps=2)
+        report("bucket_take", bi=bi, width=int(b.width), rows=rows,
+               m_rows_per_s=round(rows / sec / 1e6, 1),
+               ms=round(sec * 1e3, 3))
+
+    flat = jnp.concatenate(
+        [jnp.asarray(b.nbr).reshape(-1) for b in lay.buckets])
+
+    def make_flat(loops):
+        @jax.jit
+        def run():
+            def body(i, c):
+                g = jnp.take(xg, (flat + i) % n, axis=0)
+                return c + jnp.sum(g.astype(jnp.float32))
+            return jax.lax.fori_loop(0, loops, body, jnp.float32(0))
+        return run
+
+    sec = slope_time(make_flat, spans=(5, 30), reps=2)
+    report("bucket_take", bi="flat", rows=total,
+           m_rows_per_s=round(total / sec / 1e6, 1), ms=round(sec * 1e3, 3))
+
+    # same loop but WITHOUT the sum (materialize only, fence on 4 bytes)
+    def make_flat_nosum(loops):
+        @jax.jit
+        def run():
+            def body(i, c):
+                g = jnp.take(xg, (flat + i) % n, axis=0)
+                return c + g[0, 0].astype(jnp.float32)
+            return jax.lax.fori_loop(0, loops, body, jnp.float32(0))
+        return run
+
+    sec = slope_time(make_flat_nosum, spans=(5, 30), reps=2)
+    report("bucket_take", bi="flat_nosum", rows=total,
+           m_rows_per_s=round(total / sec / 1e6, 1), ms=round(sec * 1e3, 3))
+
+
+# -- H: full-iteration decomposition ---------------------------------------------
+
+
+def exp_iterparts():
+    """Time the sync iteration's phases in isolation on the bench graph:
+    take-only (materialize), take+pallas per bucket (attraction), the
+    grouped repulsion, and the apply — accounts for every ms of the
+    ~9.9 ms iteration so the optimization targets are data, not guesses."""
+    from bench import synth_powerlaw_graph
+    from force2vec_tpu.models.forces import get_model
+    from force2vec_tpu.ops.pallas_force import ell_force
+    from force2vec_tpu.train.sync import SyncForce2Vec
+    from force2vec_tpu.train.trainer import TrainConfig
+
+    graph = synth_powerlaw_graph()
+    n = graph.n
+    cfg = TrainConfig(dim=128, model="tdist", ns=5, batch_size=256,
+                      gather_dtype="bfloat16")
+    fv = SyncForce2Vec(graph, cfg, min_width=8, hub_width=128)
+    lay = fv.layout
+    model = get_model("tdist")
+    x = fv.init_embedding(seed=1)
+    garr = fv._garr
+    ng = -(-lay.n_pad // 256)
+    negs = jax.random.randint(jax.random.PRNGKey(2), (ng, 5), 0, n, jnp.int32)
+    step = jnp.float32(0.02)
+
+    bucket_info = []
+    for bi, b in enumerate(lay.buckets):
+        bucket_info.append((bi, int(b.width), int(b.count),
+                            b.owners is not None))
+
+    def attraction_probe(kernel: bool):
+        def make(loops):
+            @jax.jit
+            def run():
+                xg = x.astype(jnp.bfloat16)
+                def body(i, c):
+                    s = jnp.float32(0)
+                    for bi, width, count, is_hub in bucket_info:
+                        nbr = garr[f"nbr{bi}"]
+                        dg = garr[f"deg{bi}"]
+                        g = jnp.take(xg, (nbr.reshape(-1) + i) % n,
+                                     axis=0).reshape(count, width, 128)
+                        if kernel:
+                            if is_hub:
+                                own = garr[f"own{bi}"]
+                                start = lay.buckets[bi].start
+                                xi = jnp.take(x, own + jnp.int32(start), axis=0)
+                                invd = jnp.take(garr["inv_deg"],
+                                                own + jnp.int32(start))
+                            else:
+                                start = lay.buckets[bi].start
+                                xi = jax.lax.dynamic_slice(
+                                    x, (start, 0), (count, 128))
+                                invd = jax.lax.dynamic_slice(
+                                    garr["inv_deg"], (start,), (count,))
+                            out = ell_force(model, "edge", xi, g, dg, invd,
+                                            step)
+                            s = s + out[0, 0]
+                        else:
+                            s = s + g[0, 0, 0].astype(jnp.float32)
+                    return c + s
+                return jax.lax.fori_loop(0, loops, body, jnp.float32(0))
+            return run
+        return make
+
+    for name, mk in (("take_only", attraction_probe(False)),
+                     ("take_kernel", attraction_probe(True))):
+        sec = slope_time(mk, spans=(5, 30), reps=2)
+        report("iterparts", phase=name, ms=round(sec * 1e3, 3))
+
+    # grouped repulsion alone (the jnp path the iteration uses)
+    def make_rep(loops):
+        @jax.jit
+        def run():
+            xg = x.astype(jnp.bfloat16)
+            def body(i, c):
+                sg = jnp.take(xg, (negs.reshape(-1) + i) % n,
+                              axis=0).reshape(ng, 5, 128)
+                gid = jnp.arange(lay.n_pad, dtype=jnp.int32) // 256
+                s = jnp.take(sg, gid, axis=0).astype(x.dtype)
+                f = model.sample_force(x[:, None, :], s, step)
+                return c + jnp.sum(f, axis=(1,)).astype(jnp.float32)[0, 0]
+            return jax.lax.fori_loop(0, loops, body, jnp.float32(0))
+        return run
+
+    sec = slope_time(make_rep, spans=(5, 30), reps=2)
+    report("iterparts", phase="repulsion", ms=round(sec * 1e3, 3))
+
+    # apply: x + upd (fresh buffer each loop, donated semantics not modeled)
+    upd = jnp.ones_like(x)
+
+    def make_apply(loops):
+        @jax.jit
+        def run():
+            def body(i, xc):
+                return xc + upd * (1.0 / (1.0 + i))
+            return jax.lax.fori_loop(0, loops, body, x)
+        return run
+
+    sec = slope_time(make_apply, spans=(5, 30), reps=2)
+    report("iterparts", phase="apply", ms=round(sec * 1e3, 3))
+
+    # the real full iteration for the same graph/instance
+    def make_full(loops):
+        @jax.jit
+        def run():
+            def body(i, xc):
+                return fv._iteration(garr, xc, negs, None, 0.002)
+            return jax.lax.fori_loop(0, loops, body, x)
+        return run
+
+    sec = slope_time(make_full, spans=(5, 30), reps=2)
+    ups = graph.nnz + graph.n * 5
+    report("iterparts", phase="full", ms=round(sec * 1e3, 3),
+           mups=round(ups / sec / 1e6, 1))
+
+
+# -- I: force-sweep variants ------------------------------------------------------
+
+
+def exp_sweepvar():
+    """Three ways to evaluate the masked force over the materialized tile:
+    current Pallas kernel (VPU hsum), a Pallas kernel with the D-axis
+    reduction on the MXU (matmul by ones), and take -> optimization_barrier
+    -> pure-jnp chain (barrier keeps XLA's fast standalone gather while XLA
+    fuses the math).  All over the real bench-graph buckets."""
+    import functools as ft
+
+    from bench import synth_powerlaw_graph
+    from force2vec_tpu.models.forces import get_model
+    from force2vec_tpu.ops.pallas_force import ell_force
+    from force2vec_tpu.train.sync import SyncForce2Vec
+    from force2vec_tpu.train.trainer import TrainConfig
+
+    graph = synth_powerlaw_graph()
+    n = graph.n
+    cfg = TrainConfig(dim=128, model="tdist", ns=5, batch_size=256,
+                      gather_dtype="bfloat16")
+    fv = SyncForce2Vec(graph, cfg, min_width=8, hub_width=128)
+    lay = fv.layout
+    model = get_model("tdist")
+    x = fv.init_embedding(seed=1)
+    garr = fv._garr
+    step = jnp.float32(0.02)
+
+    # MXU-hsum kernel: same chain but a = (diff*diff) @ ones via jnp.dot
+    from jax.experimental import pallas as pl  # noqa: F811
+    from jax.experimental.pallas import tpu as pltpu  # noqa: F811
+
+    def mxu_kernel(k, xi_ref, xj_ref, deg_ref, step_ref, out_ref):
+        xi = xi_ref[:]
+        xj = xj_ref[:].astype(xi.dtype)  # [T, K, D]
+        stepv = step_ref[0, 0]
+        t, _, d = xj.shape
+        diff = xi[:, None, :] - xj
+        ones = jnp.ones((d, 1), dtype=xi.dtype)
+        a = jax.lax.dot_general(
+            (diff * diff).reshape(t * k, d), ones,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).reshape(t, k)
+        d1 = -2.0 / (1.0 + a)
+        f = jnp.clip(d1[:, :, None] * diff, -5.0, 5.0) * stepv
+        k_iota = jax.lax.broadcasted_iota(jnp.int32, (t, k), 1)
+        maskf = (k_iota < deg_ref[:]).astype(xi.dtype)
+        out_ref[:] = jnp.sum(f * maskf[:, :, None], axis=1)
+
+    def mxu_force(xi, xj, dg, stepv, tile=None):
+        from force2vec_tpu.ops.pallas_force import _tile_rows
+
+        c, k, d = xj.shape
+        tile = tile or _tile_rows(k, d, xj.dtype.itemsize)
+        grid = (pl.cdiv(c, tile),)
+        step_arr = jnp.asarray(stepv, dtype=xi.dtype).reshape(1, 1)
+        return pl.pallas_call(
+            ft.partial(mxu_kernel, k),
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((tile, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((tile, k, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((tile, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            ],
+            out_specs=pl.BlockSpec((tile, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((c, d), xi.dtype),
+        )(xi, xj, dg[:, None], step_arr)
+
+    bucket_info = [(bi, int(b.width), int(b.count), b.owners is not None,
+                    int(b.start)) for bi, b in enumerate(lay.buckets)]
+
+    def xi_invd(bi, width, count, is_hub, start):
+        if is_hub:
+            own = garr[f"own{bi}"]
+            xi = jnp.take(x, own + jnp.int32(start), axis=0)
+            invd = jnp.take(garr["inv_deg"], own + jnp.int32(start))
+        else:
+            xi = jax.lax.dynamic_slice(x, (start, 0), (count, 128))
+            invd = jax.lax.dynamic_slice(garr["inv_deg"], (start,), (count,))
+        return xi, invd
+
+    def sweep_probe(kind):
+        def make(loops):
+            @jax.jit
+            def run():
+                xg = x.astype(jnp.bfloat16)
+                def body(i, c):
+                    s = jnp.float32(0)
+                    for bi, width, count, is_hub, start in bucket_info:
+                        nbr = garr[f"nbr{bi}"]
+                        dg = garr[f"deg{bi}"]
+                        g = jnp.take(xg, (nbr.reshape(-1) + i) % n,
+                                     axis=0).reshape(count, width, 128)
+                        xi, invd = xi_invd(bi, width, count, is_hub, start)
+                        if kind == "pallas":
+                            out = ell_force(model, "edge", xi, g, dg, invd,
+                                            step)
+                        elif kind == "mxu":
+                            out = mxu_force(xi, g, dg, step)
+                        else:  # barrier + jnp
+                            g = jax.lax.optimization_barrier(g)
+                            f = model.edge_force(
+                                xi[:, None, :], g.astype(x.dtype),
+                                invd[:, None, None], step)
+                            mask = (jnp.arange(width, dtype=jnp.int32)[None]
+                                    < dg[:, None])
+                            out = jnp.sum(
+                                jnp.where(mask[:, :, None], f, 0), axis=1)
+                        s = s + out[0, 0]
+                    return c + s
+                return jax.lax.fori_loop(0, loops, body, jnp.float32(0))
+            return run
+        return make
+
+    import os as _os
+    kinds = _os.environ.get("SWEEP_KINDS", "pallas,mxu,barrier").split(",")
+    for kind in kinds:
+        try:
+            sec = slope_time(sweep_probe(kind), spans=(5, 30), reps=2)
+            report("sweepvar", kind=kind, ms=round(sec * 1e3, 3))
+        except Exception as e:  # noqa: BLE001
+            traceback.print_exc()
+            report("sweepvar", kind=kind, error=str(e)[:200])
+
+    # parity probe: mxu kernel vs ell_force on one real bucket
+    bi, width, count, is_hub, start = bucket_info[2]
+    nbr = garr[f"nbr{bi}"]
+    g = jnp.take(x.astype(jnp.bfloat16), nbr.reshape(-1), axis=0).reshape(
+        count, width, 128)
+    xi, invd = xi_invd(bi, width, count, is_hub, start)
+    dg = garr[f"deg{bi}"]
+    a = np.asarray(jax.jit(lambda: mxu_force(xi, g, dg, step))())
+    b = np.asarray(jax.jit(lambda: ell_force(model, "edge", xi, g, dg,
+                                             invd, step))())
+    report("sweepvar", kind="mxu_parity",
+           max_err=float(np.max(np.abs(a - b))))
+
+
+# -- J: sweep-only on pre-materialized tiles ---------------------------------------
+
+
+def exp_sweeponly():
+    """The force sweep with the tiles already in HBM (no takes in the
+    loop): separates sweep-internal cost from gather interference."""
+    from bench import synth_powerlaw_graph
+    from force2vec_tpu.models.forces import get_model
+    from force2vec_tpu.ops.pallas_force import ell_force
+    from force2vec_tpu.train.sync import SyncForce2Vec
+    from force2vec_tpu.train.trainer import TrainConfig
+
+    graph = synth_powerlaw_graph()
+    cfg = TrainConfig(dim=128, model="tdist", ns=5, batch_size=256,
+                      gather_dtype="bfloat16")
+    fv = SyncForce2Vec(graph, cfg, min_width=8, hub_width=128)
+    lay = fv.layout
+    model = get_model("tdist")
+    x = fv.init_embedding(seed=1)
+    garr = fv._garr
+    step = jnp.float32(0.02)
+
+    for gdt in ("bfloat16", "float32"):
+        tiles, xis, invds = [], [], []
+        xg = x.astype(gdt)
+        for bi, b in enumerate(lay.buckets):
+            nbr = garr[f"nbr{bi}"]
+            tiles.append(jnp.take(xg, nbr.reshape(-1), axis=0).reshape(
+                b.count, b.width, 128))
+            if b.owners is not None:
+                own = garr[f"own{bi}"]
+                xis.append(jnp.take(x, own + jnp.int32(b.start), axis=0))
+                invds.append(jnp.take(garr["inv_deg"],
+                                      own + jnp.int32(b.start)))
+            else:
+                xis.append(jax.lax.dynamic_slice(
+                    x, (b.start, 0), (b.count, 128)))
+                invds.append(jax.lax.dynamic_slice(
+                    garr["inv_deg"], (b.start,), (b.count,)))
+
+        for kind in ("pallas", "jnp"):
+            def make(loops, kind=kind):
+                @jax.jit
+                def run():
+                    def body(i, c):
+                        s = jnp.float32(0)
+                        for bi, b in enumerate(lay.buckets):
+                            t, xi, invd = tiles[bi], xis[bi], invds[bi]
+                            dg = garr[f"deg{bi}"]
+                            if kind == "pallas":
+                                out = ell_force(model, "edge", xi, t, dg,
+                                                invd, step)
+                            else:
+                                f = model.edge_force(
+                                    xi[:, None, :], t.astype(x.dtype),
+                                    invd[:, None, None], step)
+                                mask = (jnp.arange(t.shape[1],
+                                                   dtype=jnp.int32)[None]
+                                        < dg[:, None])
+                                out = jnp.sum(
+                                    jnp.where(mask[:, :, None], f, 0), axis=1)
+                            s = s + out[0, 0]
+                        return c + s
+                    return jax.lax.fori_loop(0, loops, body, jnp.float32(0))
+                return run
+
+            try:
+                sec = slope_time(make, spans=(5, 30), reps=2)
+                report("sweeponly", kind=kind, gather_dtype=gdt,
+                       ms=round(sec * 1e3, 3))
+            except Exception as e:  # noqa: BLE001
+                report("sweeponly", kind=kind, gather_dtype=gdt,
+                       error=str(e)[:200])
+
+
 if __name__ == "__main__":
     which = sys.argv[1:] or ["take_dtype", "vmem_take", "phase_split",
                              "onehot"]

@@ -37,6 +37,12 @@ def _native_enabled() -> bool:
     return os.environ.get("F2V_NO_NATIVE", "") != "1"
 
 
+#: which parser produced the last read_mtx/read_edgelist result —
+#: "native" (C++ mmap+OpenMP) or "numpy" (fallback).  Benchmarks record
+#: this so an artifact can never silently claim native-parser numbers.
+last_parser: str = "none"
+
+
 def _dedupe_rows(g: Graph) -> Graph:
     """Drop duplicate (row, col) entries from a per-row-sorted CSR
     (vectorized; values of kept entries preserved)."""
@@ -68,8 +74,10 @@ def read_mtx(path: str) -> Graph:
 
         out = load_mtx_native(path)
         if out is not None:
+            globals()["last_parser"] = "native"
             n, rowptr, colids, values = out
             return Graph(n=n, rowptr=rowptr, colids=colids, values=values)
+    globals()["last_parser"] = "numpy"
 
     with open(path, "r") as f:
         header = f.readline()
@@ -122,11 +130,13 @@ def read_edgelist(
             drop_self_loops=drop_self_loops,
         )
         if out is not None:
+            globals()["last_parser"] = "native"
             n, rowptr, colids, values = out
             g = Graph(n=n, rowptr=rowptr, colids=colids, values=values)
             if symmetrize:
                 g = _dedupe_rows(g)  # both-direction inputs double up on mirror
             return g
+    globals()["last_parser"] = "numpy"
 
     with open(path, "r") as f:
         body = f.read()
