@@ -63,6 +63,9 @@ class VertexShardedForce2Vec:
         row_align: int = 8,
         sampling: str = "shared",
         neg_pool: int = 128,
+        walk_fetch: str = "auto",
+        walk_fetch_cap: Optional[int] = None,
+        walk_fetch_slack: float = 1.5,
     ):
         self.graph = graph
         self.config = config
@@ -110,6 +113,31 @@ class VertexShardedForce2Vec:
                     u, idx = np.unique(hub.owners[p], return_index=True)
                     first[p, u] = idx.astype(np.int32)
                 garr["first_vrow"] = jnp.asarray(first)
+        if self.model.attraction == "walk":
+            # Walk-target embedding fetch mode.  'ring' rotates the full
+            # local table P-1 times: (P-1)·n_loc rows/iter/shard regardless
+            # of need.  'a2a' fetches only the deduplicated needed rows via
+            # a request/response all_to_all pair, provisioned at a STATIC
+            # per-pair cap C (XLA shapes): measured on the headline bench
+            # graph the needed-rows volume is 0.43x the ring at P=8 and
+            # 0.15x at P=32 (benchmarks/rwalk_ring_eval.py →
+            # benchmarks/out/rwalk_ring_eval.json).  Slots that overflow
+            # the cap are dropped from that iteration's attraction (the
+            # cap carries `walk_fetch_slack` headroom over the preflight
+            # worst, so overflow is a never-in-practice tail; the parity
+            # tests assert a2a == ring exactly on real draws).
+            if walk_fetch not in ("ring", "a2a", "auto"):
+                raise ValueError(f"walk_fetch must be ring/a2a/auto, got {walk_fetch!r}")
+            cap = walk_fetch_cap
+            if walk_fetch != "ring" and self.P > 1:
+                if cap is None:
+                    cap = self._preflight_walk_cap(slack=walk_fetch_slack)
+                if walk_fetch == "auto":
+                    walk_fetch = "a2a" if cap < lay.n_loc else "ring"
+            else:
+                walk_fetch = "ring"
+            self.walk_fetch = walk_fetch
+            self.walk_cap = int(cap) if walk_fetch == "a2a" else 0
         self._gspecs = {k: P("vp") for k in garr}
         if self.model.attraction == "walk":
             # whole-graph maps every shard reads (replicated, not sharded)
@@ -136,6 +164,48 @@ class VertexShardedForce2Vec:
             return jax.jit(sharded)
 
         self._train_jit = make_train_dispatcher(jit_for)
+
+    def _preflight_walk_cap(self, iters: int = 4, slack: float = 1.5) -> int:
+        """Host-side sizing of the a2a walk-fetch cap: run ``iters`` rounds
+        of uniform-neighbor walks (the engine's semantics — slot uniform in
+        [0, deg), deg-0 stays put) and take the worst per-(shard, peer)
+        DEDUPLICATED remote-row need, padded by ``slack`` and rounded up to
+        a sublane multiple.  The cap must hold for every iteration (static
+        shapes), so worst — not mean — is the operative number."""
+        lay, g = self.layout, self.graph
+        wl = self.config.walk_length
+        rng = np.random.default_rng(97)
+        rowptr, colids = g.rowptr, g.colids
+        deg = (rowptr[1:] - rowptr[:-1]).astype(np.int64)
+        owner_v = lay.shard_of[lay.inv_perm]  # owner of original id v
+        n = g.n
+        worst = 0
+        for _ in range(iters):
+            cur = np.arange(n, dtype=np.int64)
+            tgts = []
+            for _s in range(wl):
+                d = deg[cur]
+                slot = rng.integers(0, 1 << 31, size=n) % np.maximum(d, 1)
+                nxt = colids[rowptr[cur] + np.minimum(slot, np.maximum(d - 1, 0))]
+                cur = np.where(d > 0, nxt, cur)
+                tgts.append(cur)
+            tgt = np.stack(tgts, axis=1)  # [n, wl] original ids
+            t_owner = owner_v[tgt]
+            w_owner = owner_v[:, None].repeat(wl, axis=1)
+            for q in range(self.P):
+                mq = w_owner == q
+                tq, oq = tgt[mq], t_owner[mq]
+                rem = oq != q
+                tq, oq = tq[rem], oq[rem]
+                if len(oq):
+                    counts = np.bincount(
+                        oq, weights=None, minlength=self.P
+                    )  # non-dedup upper bound is cheap; dedup exact below
+                    for p in np.nonzero(counts)[0]:
+                        need = np.unique(tq[oq == p]).size
+                        worst = max(worst, need)
+        cap = int(-(-int(worst * slack) // 8) * 8)
+        return max(8, min(cap, lay.n_loc))
 
     # -- embedding layout ----------------------------------------------------
 
@@ -219,13 +289,84 @@ class VertexShardedForce2Vec:
 
         wl = cfg.walk_length
         n_total = lay.n
+        walk_fetch = getattr(self, "walk_fetch", "ring")
+        C = getattr(self, "walk_cap", 0)
+
+        def attraction_walk_a2a(g, x_loc, walks, step):
+            """Needed-rows-only walk fetch: deduplicate this shard's remote
+            walk targets per owner on device (sort + segmented unique-rank),
+            all_to_all the ≤C local-row requests per peer, answer with one
+            gather, all_to_all the rows back — (P-1)·C embedding rows on
+            the wire instead of the ring's (P-1)·n_loc (0.43x at P=8,
+            0.15x at P=32 on the bench graph; benchmarks/rwalk_ring_eval
+            .py).  Slots past the cap are dropped from this iteration's
+            attraction — the cap is preflight-sized with slack so that is
+            a never-in-practice tail, and parity vs the ring is asserted
+            on real draws in tests."""
+            rank = jax.lax.axis_index("vp") if Pn > 1 else 0
+            invd = g["inv_deg"][0]
+            t = walks.reshape(-1)  # [M] global ids or -1
+            m_sz = t.shape[0]
+            valid = t >= 0
+            tc = jnp.clip(t, 0, n_total - 1)
+            owner = jnp.take(g["shard_of"], tc)
+            lr = jnp.take(g["lrow_of"], tc)
+            is_local = owner == rank
+            # group: remote slots by owner; local → Pn, invalid → Pn+1
+            grp = jnp.where(valid, jnp.where(is_local, Pn, owner), Pn + 1)
+            key = grp * jnp.int32(n_loc) + jnp.where(grp < Pn, lr, 0)
+            order = jnp.argsort(key)
+            ks = jnp.take(key, order)
+            lrs = jnp.take(lr, order)
+            os_ = ks // jnp.int32(n_loc)
+            uniq = jnp.concatenate(
+                [jnp.ones((1,), jnp.int32), (ks[1:] != ks[:-1]).astype(jnp.int32)]
+            )
+            uidx = jnp.cumsum(uniq) - 1  # unique-key index (shared by dups)
+            ucount = jax.ops.segment_sum(uniq, os_, num_segments=Pn + 2)
+            ubase = jnp.cumsum(ucount) - ucount
+            upos = uidx - jnp.take(ubase, os_)  # rank within owner group
+            # request buffer [Pn, C]: the c-th unique remote row per owner
+            sel = (uniq > 0) & (os_ < Pn) & (upos < C)
+            slot = jnp.where(sel, os_ * C + jnp.minimum(upos, C - 1), Pn * C)
+            req = (
+                jnp.zeros((Pn * C + 1,), jnp.int32)
+                .at[slot].set(jnp.where(sel, lrs, 0))[: Pn * C]
+                .reshape(Pn, C)
+            )
+            if Pn > 1:
+                got = jax.lax.all_to_all(req, "vp", split_axis=0, concat_axis=0)
+            else:
+                got = req
+            resp = jnp.take(x_loc, got.reshape(-1), axis=0).reshape(Pn, C, dim)
+            if Pn > 1:
+                resp = jax.lax.all_to_all(resp, "vp", split_axis=0, concat_axis=0)
+            # per-slot fetch: invert the sort to map slots → (grp, upos)
+            upos_slot = jnp.zeros((m_sz,), jnp.int32).at[order].set(upos)
+            remote_ok = (grp < Pn) & (upos_slot < C)
+            resp_flat = resp.reshape(Pn * C, dim)
+            fetch = jnp.where(
+                remote_ok, grp * C + jnp.minimum(upos_slot, C - 1), 0
+            )
+            xr = jnp.take(resp_flat, fetch, axis=0)
+            xl = jnp.take(x_loc, lr, axis=0)
+            xj = jnp.where(is_local[:, None], xl, xr).reshape(n_loc, wl, dim)
+            ok = (valid & (is_local | remote_ok)).reshape(n_loc, wl)
+            f = model.edge_force(
+                x_loc[:, None, :], xj, invd[:, None, None], step
+            )
+            return jnp.sum(jnp.where(ok[:, :, None], f, 0), axis=1)
 
         def attraction_walk(g, x_loc, walks, step):
             """Sigmoid force against the walk targets (global ids), fetched
             by rotating ``x_loc`` around the vp ring (P-1 ppermutes, each
             overlappable with the masked per-round force evaluation) — the
             framework's ring-attention analog: the KV rotation is an
-            embedding-chunk rotation (SURVEY.md §5)."""
+            embedding-chunk rotation (SURVEY.md §5).  With
+            ``walk_fetch='a2a'`` the needed-rows-only exchange of
+            :func:`attraction_walk_a2a` replaces the ring."""
+            if walk_fetch == "a2a":
+                return attraction_walk_a2a(g, x_loc, walks, step)
             ownerW = jnp.take(g["shard_of"], jnp.clip(walks, 0, n_total - 1))
             lrW = jnp.take(g["lrow_of"], jnp.clip(walks, 0, n_total - 1))
             validW = walks >= 0
@@ -522,13 +663,22 @@ class VertexShardedForce2Vec:
             ),
         }
         if self.model.attraction == "walk":
-            # ring fetch rotates the full local table P-1 times ...
-            rows["rwalk_ring_rows_sent"] = (Pn - 1) * lay.n_loc
-            # ... plus wl frontier all_gathers ([P·n_loc] int32 ids) and
-            # wl psums of the answers (ids, not embedding rows)
-            rows["rwalk_id_words_sent"] = (
-                2 * cfg.walk_length * (Pn - 1) * lay.n_loc
-            )
+            if getattr(self, "walk_fetch", "ring") == "a2a":
+                # needed-rows fetch: (P-1)·C response rows + C-row id
+                # requests per peer (the id words are 4 B each)
+                rows["rwalk_a2a_rows_sent"] = (Pn - 1) * self.walk_cap
+                rows["rwalk_id_words_sent"] = (
+                    (Pn - 1) * self.walk_cap
+                    + 2 * cfg.walk_length * (Pn - 1) * lay.n_loc
+                )
+            else:
+                # ring fetch rotates the full local table P-1 times ...
+                rows["rwalk_ring_rows_sent"] = (Pn - 1) * lay.n_loc
+                # ... plus wl frontier all_gathers ([P·n_loc] int32 ids)
+                # and wl psums of the answers (ids, not embedding rows)
+                rows["rwalk_id_words_sent"] = (
+                    2 * cfg.walk_length * (Pn - 1) * lay.n_loc
+                )
         emb_rows = sum(v for k, v in rows.items() if k.endswith(("_sent", "_recv", "_rows")))
         out = {
             **rows,

@@ -68,6 +68,60 @@ def _kernel(model: ForceModel, kind: str, k: int,
     out_ref[:] = jnp.sum(f * maskf[:, :, None], axis=1)
 
 
+def _rep_grouped_kernel(model: ForceModel, xi_ref, sg_ref, step_ref, out_ref):
+    xi = xi_ref[:]                       # [T, D]
+    s = sg_ref[0].astype(xi.dtype)       # [ns, D] — this tile's group samples
+    step = step_ref[0, 0]
+    f = model.sample_force(xi[:, None, :], s[None, :, :], step)  # [T, ns, D]
+    out_ref[:] = jnp.sum(f, axis=1)
+
+
+def rep_tile_rows(group: int, cap: int = 256) -> int:
+    """Largest tile T ≤ cap with T | group and 8 | T (so every Pallas tile
+    lies inside exactly one negative-sample group), or 0 if none exists."""
+    t = min(group, cap)
+    while t >= 8 and group % t:
+        t -= 8
+    return t if t >= 8 and group % t == 0 and t % 8 == 0 else 0
+
+
+@functools.partial(jax.jit, static_argnames=("model", "group", "interpret"))
+def grouped_rep_force(model: ForceModel, group: int, xi, sg, step,
+                      interpret: bool = False):
+    """Grouped-negative repulsion with the group expand kept in VMEM.
+
+    xi [C, D] — embedding rows (row r belongs to group r // group);
+    sg [ng, ns, D] — per-group negative-sample rows (already gathered; tiny).
+    Returns [C, D] = Σ_ns sample_force(xi, sg[row // group]).
+
+    The pure-jnp path materializes the [C, ns, D] group expand in HBM
+    (~3 tile-sized f32 temporaries); here each Pallas tile reads its ONE
+    [ns, D] sample block via the BlockSpec index map (tile size divides the
+    group size, so a tile never crosses a group boundary) and the expand
+    never leaves VMEM.  Requires xi row 0 to be group-aligned (single-shard
+    repulsion; the dp>1 path keeps the jnp chain).
+    """
+    c, d = xi.shape
+    ng, ns, _ = sg.shape
+    t = rep_tile_rows(group)
+    assert t, f"no Pallas tile divides group={group}"
+    grid = (pl.cdiv(c, t),)
+    step_arr = jnp.asarray(step, dtype=xi.dtype).reshape(1, 1)
+    return pl.pallas_call(
+        functools.partial(_rep_grouped_kernel, model),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((t, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ns, d), lambda i: (i * t // group, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((t, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((c, d), xi.dtype),
+        interpret=interpret,
+    )(xi, sg, step_arr)
+
+
 @functools.partial(
     jax.jit, static_argnames=("model", "kind", "interpret")
 )

@@ -56,6 +56,7 @@ class SyncForce2Vec:
         use_pallas: Optional[bool] = None,
         tile_budget_bytes: int = 1024 * 1024 * 1024,
         width_scheme: str = "mult4",
+        take_group_bytes: int = 192 * 1024 * 1024,
     ):
         self.graph = graph
         self.config = config
@@ -74,6 +75,7 @@ class SyncForce2Vec:
             use_pallas = jax.default_backend() != "cpu"
         self.use_pallas = bool(use_pallas)
         self.tile_budget_bytes = int(tile_budget_bytes)
+        self.take_group_bytes = int(take_group_bytes)
         # mult4 width ladder: cuts ELL padding (= bulk-gather rows, the
         # iteration's dominant cost — the take runs at a flat ~450 M rows/s
         # regardless of index values) from 1.39x to 1.11x nnz on the
@@ -235,18 +237,56 @@ class SyncForce2Vec:
                 return part_local
             return jax.lax.all_gather(part_local, dp_axis, axis=0, tiled=True)
 
+        # Static piece list for the attraction sweep: every (bucket, chunk
+        # span) pair, packed greedily into TAKE GROUPS of at most
+        # ``take_group_bytes`` of materialized tile.  One bulk ``take``
+        # serves a whole group: measured on v5e, 15 per-bucket takes of the
+        # same rows cost 6.8 ms where one flat take costs 3.9 ms — per-take
+        # scheduling overhead (PERF.md §3).  A handful of groups (instead
+        # of one giant take) keeps the gather engine pipelined against the
+        # VPU force sweep of the previous group.
+        group_cap = min(self.take_group_bytes, tile_budget_bytes)
+
+        def build_take_groups():
+            groups, cur, cur_bytes = [], [], 0
+            for bi, width, start, count, real, is_hub in bucket_meta:
+                local = count // n_dp
+                for c_off, c_rows in chunk_spans(local, width):
+                    piece_bytes = c_rows * width * dim * gsize
+                    if cur and cur_bytes + piece_bytes > group_cap:
+                        groups.append(cur)
+                        cur, cur_bytes = [], 0
+                    cur.append((bi, width, start, count, real, is_hub,
+                                c_off, c_rows))
+                    cur_bytes += piece_bytes
+            if cur:
+                groups.append(cur)
+            return groups
+
+        take_groups = build_take_groups()
+
         def attraction(g, x, xg, step):
             """Σ_buckets masked ELL force — returns the [n_pad, dim] update."""
-            parts = []
-            for bi, width, start, count, real, is_hub in bucket_meta:
-                local, off = shard_rows(count)
-                base = off()
-                chunks = []
-                for c_off, c_rows in chunk_spans(local, width):
-                    r0 = base + jnp.int32(c_off)
+            by_bucket = {}
+            for grp in take_groups:
+                # one flat bulk take for the whole group
+                idxs, metas = [], []
+                for bi, width, start, count, real, is_hub, c_off, c_rows in grp:
+                    _, off = shard_rows(count)
+                    r0 = off() + jnp.int32(c_off)
                     nbr = jax.lax.dynamic_slice(
                         g[f"nbr{bi}"], (r0, 0), (c_rows, width)
                     )
+                    idxs.append(nbr.reshape(-1))
+                    metas.append((bi, width, start, is_hub, c_off, c_rows, r0))
+                flat_idx = idxs[0] if len(idxs) == 1 else jnp.concatenate(idxs)
+                flat = jnp.take(xg, flat_idx, axis=0)  # [Σ rows·width, dim]
+                fo = 0
+                for bi, width, start, is_hub, c_off, c_rows, r0 in metas:
+                    xj = jax.lax.slice(
+                        flat, (fo, 0), (fo + c_rows * width, dim)
+                    ).reshape(c_rows, width, dim)
+                    fo += c_rows * width
                     dg = jax.lax.dynamic_slice(g[f"deg{bi}"], (r0,), (c_rows,))
                     if is_hub:
                         owners = jax.lax.dynamic_slice(
@@ -261,10 +301,12 @@ class SyncForce2Vec:
                         invd = jax.lax.dynamic_slice(
                             g["inv_deg"], (start + r0,), (c_rows,)
                         )
-                    xj = jnp.take(xg, nbr.reshape(-1), axis=0).reshape(
-                        c_rows, width, dim
+                    by_bucket.setdefault(bi, []).append(
+                        force_sum("edge", xi, xj, dg, invd, step)
                     )
-                    chunks.append(force_sum("edge", xi, xj, dg, invd, step))
+            parts = []
+            for bi, width, start, count, real, is_hub in bucket_meta:
+                chunks = by_bucket[bi]
                 part = chunks[0] if len(chunks) == 1 else jnp.concatenate(chunks)
                 part = gathered(part)  # [count, dim] on every rank
                 if is_hub:
@@ -292,6 +334,11 @@ class SyncForce2Vec:
             return gathered(part)
 
         group = max(cfg.batch_size, 1)
+        from force2vec_tpu.ops.pallas_force import rep_tile_rows
+
+        use_rep_pallas = (
+            use_pallas and n_dp == 1 and rep_tile_rows(group) > 0
+        )
 
         def repulsion(x, xg, negs, step):
             local, off = shard_rows(n_pad)
@@ -317,13 +364,24 @@ class SyncForce2Vec:
             # grouped samples ([ng, ns]): each batch_size-row group shares
             # one ns-sample set — the reference's own option-5 sampling
             # pattern (sample/algorithms.cpp:577-586), and the repulsion
-            # gather collapses from n·ns rows to ng·ns rows.  Stays on the
-            # jnp path: the fused chain absorbs the group expand, which the
-            # fusion-opaque Pallas kernel would force to materialize.
+            # gather collapses from n·ns rows to ng·ns rows.
             xi = jax.lax.dynamic_slice(x, (r0, 0), (local, dim))
             sg = jnp.take(xg, negs.reshape(-1), axis=0).reshape(
                 negs.shape[0], ns, dim
             )
+            if use_rep_pallas:
+                # Pallas kernel: each tile reads its ONE [ns, D] group block
+                # via the BlockSpec index map, so the [local, ns, D] group
+                # expand never touches HBM (the jnp chain materializes ~3
+                # tile-sized f32 temporaries — ~2 ms/iter at the headline
+                # bench size).  Single-shard only: tile/group alignment
+                # needs row 0 group-aligned.
+                from force2vec_tpu.ops.pallas_force import grouped_rep_force
+
+                return grouped_rep_force(model, group, xi, sg, step)
+            # jnp fallback (CPU, dp>1, or no tile divides the group): the
+            # fused chain absorbs the group expand, which the fusion-opaque
+            # ell_force kernel would force to materialize.
             gid = (r0 + jnp.arange(local, dtype=jnp.int32)) // jnp.int32(group)
             s = jnp.take(sg, gid, axis=0)
             full = jnp.full((local,), ns, dtype=jnp.int32)

@@ -46,3 +46,38 @@ def test_pallas_kernel_zero_deg_rows():
     invd = jnp.ones(C, jnp.float32)
     got = ell_force(model, "edge", xi, xj, deg, invd, 0.02, interpret=True)
     np.testing.assert_array_equal(np.asarray(got), 0.0)
+
+
+@pytest.mark.parametrize("name", ["tdist", "sigmoid"])
+@pytest.mark.parametrize("c,group", [(512, 128), (400, 128), (256, 256)])
+def test_grouped_rep_force_matches_jnp(name, c, group):
+    """grouped_rep_force (in-VMEM group expand) == expanded jnp chain,
+    including a non-tile-multiple row count (partial final block)."""
+    from force2vec_tpu.ops.pallas_force import grouped_rep_force, rep_tile_rows
+
+    assert rep_tile_rows(group) > 0
+    model = get_model(name)
+    ns = 5
+    ng = -(-c // group)
+    rng = np.random.default_rng(2)
+    xi = jnp.asarray(rng.standard_normal((c, D)), jnp.float32)
+    sg = jnp.asarray(rng.standard_normal((ng, ns, D)), jnp.bfloat16)
+    step = 0.02
+
+    gid = np.arange(c) // group
+    s = jnp.take(sg, jnp.asarray(gid, jnp.int32), axis=0).astype(jnp.float32)
+    want = jnp.sum(model.sample_force(xi[:, None, :], s, step), axis=1)
+    got = grouped_rep_force(model, group, xi, sg, step, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-6
+    )
+
+
+def test_rep_tile_rows():
+    from force2vec_tpu.ops.pallas_force import rep_tile_rows
+
+    assert rep_tile_rows(256) == 256
+    assert rep_tile_rows(384) == 192
+    assert rep_tile_rows(512) == 256
+    assert rep_tile_rows(8) == 8
+    assert rep_tile_rows(7) == 0  # no multiple-of-8 divisor

@@ -262,3 +262,56 @@ def test_overlap_schedule_structure():
         for e in range(g.rowptr[v], g.rowptr[v + 1]):
             want.append((int(inv[v]), int(inv[g.colids[e]])))
     assert got == sorted(want)
+
+
+@pytest.mark.parametrize("n_dev", [2, 4, 8])
+def test_rwalk_a2a_fetch_matches_ring(small_graph, n_dev):
+    """The needed-rows-only a2a walk fetch is numerically identical to the
+    full-table ring rotation (cap = n_loc ⇒ overflow impossible)."""
+    g = small_graph
+    cfg = TrainConfig(dim=DIM, model="rwalk", ns=NS)
+    mesh = make_vp_mesh(jax.devices()[:n_dev])
+    ring = VertexShardedForce2Vec(
+        g, cfg, mesh=mesh, min_width=4, hub_width=16, walk_fetch="ring"
+    )
+    a2a = VertexShardedForce2Vec(
+        g, cfg, mesh=mesh, min_width=4, hub_width=16, walk_fetch="a2a",
+        walk_fetch_cap=ring.layout.n_loc,
+    )
+    assert a2a.walk_fetch == "a2a"
+    rng = np.random.default_rng(13)
+    x_host = rng.random((g.n, DIM)).astype(np.float32)
+    xr = ring.pad_embedding(x_host)
+    xa = a2a.pad_embedding(x_host)
+    L = cfg.walk_length
+    for it in range(3):
+        pool = rng.integers(0, g.n - 1, size=NS).astype(np.int32)
+        walks = rng.integers(0, g.n, size=(g.n, L)).astype(np.int32)
+        xr = ring.run_iteration(xr, pool, walks=walks)
+        xa = a2a.run_iteration(xa, pool, walks=walks)
+    np.testing.assert_allclose(
+        a2a.unpad_embedding(xa), ring.unpad_embedding(xr),
+        rtol=1e-6, atol=1e-7,
+    )
+
+
+def test_rwalk_a2a_preflight_trains_and_cuts_comm(small_graph):
+    """End-to-end rwalk training with the preflight-sized a2a cap: result
+    matches the ring run exactly (same PRNG stream drives the walks) and
+    the accounted exchange volume is strictly below the ring's."""
+    g = small_graph
+    cfg = TrainConfig(dim=DIM, model="rwalk", ns=NS)
+    mesh = make_vp_mesh(jax.devices()[:8])
+    ring = VertexShardedForce2Vec(
+        g, cfg, mesh=mesh, min_width=4, hub_width=16, walk_fetch="ring"
+    )
+    a2a = VertexShardedForce2Vec(
+        g, cfg, mesh=mesh, min_width=4, hub_width=16, walk_fetch="a2a",
+        walk_fetch_slack=2.0,
+    )
+    assert a2a.walk_fetch == "a2a"
+    out_r = ring.train(iters=3, seed=5)
+    out_a = a2a.train(iters=3, seed=5)
+    np.testing.assert_allclose(out_a, out_r, rtol=1e-5, atol=1e-6)
+    cs_r, cs_a = ring.comm_stats(), a2a.comm_stats()
+    assert cs_a["rwalk_a2a_rows_sent"] < cs_r["rwalk_ring_rows_sent"]
