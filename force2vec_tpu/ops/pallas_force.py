@@ -39,7 +39,9 @@ from force2vec_tpu.models.forces import ForceModel
 # well under the 16 MB scoped-vmem limit.  Sized against the f32 temporary
 # footprint with the K axis rounded up to the 8-sublane tile (non-multiple
 # K widths such as 12/20/28 are padded by Mosaic).
-_TILE_BYTES = 512 * 1024
+import os as _os
+
+_TILE_BYTES = int(_os.environ.get("F2V_PALLAS_TILE_BYTES", 512 * 1024))
 
 
 def _tile_rows(k: int, d: int, itemsize: int) -> int:

@@ -55,8 +55,8 @@ class SyncForce2Vec:
         row_align: int = 8,
         use_pallas: Optional[bool] = None,
         tile_budget_bytes: int = 1024 * 1024 * 1024,
-        width_scheme: str = "mult4",
-        take_group_bytes: int = 192 * 1024 * 1024,
+        width_scheme: str = "mult8",
+        take_group_bytes: Optional[int] = None,
     ):
         self.graph = graph
         self.config = config
@@ -75,16 +75,32 @@ class SyncForce2Vec:
             use_pallas = jax.default_backend() != "cpu"
         self.use_pallas = bool(use_pallas)
         self.tile_budget_bytes = int(tile_budget_bytes)
-        self.take_group_bytes = int(take_group_bytes)
-        # mult4 width ladder: cuts ELL padding (= bulk-gather rows, the
-        # iteration's dominant cost — the take runs at a flat ~450 M rows/s
-        # regardless of index values) from 1.39x to 1.11x nnz on the
-        # headline bench graph.  See benchmarks/exp_r3.py + PERF.md.
+        # mult8 width ladder: widths stay multiples of the 8-row sublane
+        # tile, so the [C, K, D] force sweep wastes zero sublane compute
+        # (Mosaic pads K up to 8); measured on v5e this beats mult4's
+        # smaller gather volume (1.11x vs 1.24x nnz) now that the take
+        # groups pipeline the gather — 333 vs 320 M updates/s
+        # (benchmarks/profile_r3b.py, PERF.md).
         self.layout = SyncLayout.build(
             graph, min_width=min_width, hub_width=hub_width,
             row_align=row_align,
             widths=SyncLayout.widths_for(min_width, hub_width, width_scheme),
         )
+        # Auto take-group size: throughput is flat for 8-32 MB groups at
+        # the headline bench size (benchmarks/profile_takegroups.py), but a
+        # fixed small cap would explode the op count (and compile time) on
+        # big graphs — scale with total tile volume, clamped to the
+        # measured-good range's shape (~24-40 takes per iteration).
+        if take_group_bytes is None:
+            gdt_sz = (
+                jnp.dtype(config.gather_dtype).itemsize
+                if config.gather_dtype else jnp.dtype(config.dtype).itemsize
+            )
+            total = self.layout.padded_edges * config.dim * gdt_sz
+            take_group_bytes = max(
+                8 * 1024 * 1024, min(256 * 1024 * 1024, total // 40)
+            )
+        self.take_group_bytes = int(take_group_bytes)
         self.lr = config.resolve_lr(self.model)
         self._dtype = jnp.dtype(config.dtype)
 
