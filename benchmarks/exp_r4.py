@@ -1,0 +1,250 @@
+"""Round-4 design experiments: breaking the gather wall.
+
+PERF.md §1 pinned the schedule's roofline at XLA's gather engine
+(~595 M rows/s materialize-only) — the one lever left is gathering FEWER
+rows (VERDICT r3 next-round #1).  Two facts make a hot-table schedule
+plausible now:
+
+  * the degree-sorted relabeling already concentrates the power-law mass:
+    hot rows are the contiguous id suffix [n-H, n);
+  * this jax (0.9) lowers ``lax.gather`` inside Pallas to Mosaic's
+    ``tpu.dynamic_gather`` when in.shape == idx.shape[:-1] == out.shape
+    (jax/_src/pallas/mosaic/lowering.py:2464-2525) — i.e. an H-row VMEM
+    table can be row-gathered *vectorized*, H rows per op, something the
+    round-2/3 probes (per-row fori_loop, one-hot MXU) could not do.
+
+Experiments (one JSON line each; failures print and continue):
+
+  uniq     host-side: what fraction of the bench layout's padded gather
+           slots hit the hot suffix [n-H, n), for a ladder of H; plus
+           per-take-group unique-row fractions (the dedup headroom).
+  dg       chip: tpu.dynamic_gather rows/s from a VMEM-resident [H, D]
+           table, H ∈ {2K, 8K, 32K}, bf16/f32.
+  vmemcap  chip: largest H whose table+result tile still compiles — the
+           practical VMEM budget for the hot table.
+  hotcold  chip: end-to-end hot/cold attraction prototype vs the pure
+           bulk-take schedule at the bench shape.
+
+Run: python benchmarks/exp_r4.py <exp> [exp...]
+"""
+
+import functools
+import json
+import os
+import sys
+import time
+import traceback
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def report(name, **kw):
+    print(json.dumps({"exp": name, **kw}), flush=True)
+
+
+# -- uniq: host-side hot coverage / dedup stats ------------------------------
+
+
+def exp_uniq():
+    from bench import synth_powerlaw_graph
+    from force2vec_tpu.graphs.csr import SyncLayout
+
+    g = synth_powerlaw_graph()
+    lay = SyncLayout.build(
+        g, min_width=8, hub_width=128, row_align=8,
+        widths=SyncLayout.widths_for(8, 128, "mult8"),
+    )
+    n = lay.n
+    # all padded gather targets, in slot order
+    slots = np.concatenate([b.nbr.reshape(-1) for b in lay.buckets])
+    pad_mask = np.concatenate(
+        [(np.arange(b.width)[None, :] >= b.deg[:, None]).reshape(-1)
+         for b in lay.buckets]
+    )
+    real = slots[~pad_mask]
+    report(
+        "uniq_total",
+        n=n, padded_slots=int(slots.size), real_slots=int(real.size),
+        unique_targets=int(np.unique(real).size),
+        mean_refetch=round(real.size / max(np.unique(real).size, 1), 2),
+    )
+    # hot suffix coverage (degree-sorted ascending → hubs at the top)
+    for h in (2048, 8192, 16384, 32768, 65536):
+        hot = real >= (n - h)
+        report(
+            "uniq_hot", H=h,
+            hot_frac_real=round(float(hot.mean()), 4),
+            hot_frac_padded=round(
+                float(((slots >= (n - h)) | pad_mask).mean()), 4),
+        )
+    # per-take-group unique fraction at the shipping group size (~16-64 MB)
+    for group_rows in (65536, 131072, 262144):
+        fracs = []
+        for o in range(0, slots.size - group_rows + 1, group_rows):
+            grp = slots[o:o + group_rows]
+            fracs.append(np.unique(grp).size / group_rows)
+        if fracs:
+            report(
+                "uniq_group", group_rows=group_rows,
+                mean_unique_frac=round(float(np.mean(fracs)), 4),
+                min_unique_frac=round(float(np.min(fracs)), 4),
+            )
+
+
+# -- chip probes -------------------------------------------------------------
+
+
+def _chip_setup():
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    return jax, jnp, pl, pltpu
+
+
+def _fence_fn(jax, jnp):
+    f = jax.jit(lambda a: a.reshape(-1)[:1].astype(jnp.float32))
+    return lambda x: np.asarray(f(x))
+
+
+def slope_time(fence, make_loop, spans=(4, 20), reps=2):
+    times = {}
+    for s in spans:
+        f = make_loop(s)
+        fence(f())
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            fence(f())
+            best = min(best, time.perf_counter() - t0)
+        times[s] = best
+    return (times[spans[1]] - times[spans[0]]) / (spans[1] - spans[0])
+
+
+def _dg_call(jnp, pl, pltpu, h, d, n_chunks, dtype):
+    """pallas_call: grid over chunks; each chunk dynamic-gathers H rows
+    from the resident [H, D] table."""
+
+    def kernel(idx_ref, tbl_ref, out_ref):
+        tbl = tbl_ref[:]
+        bidx = jnp.broadcast_to(idx_ref[:], tbl.shape)
+        # default mode (FILL_OR_DROP) is the one Mosaic's dynamic_gather
+        # rule accepts; mode="clip" fails to lower
+        out_ref[:] = jnp.take_along_axis(tbl, bidx, axis=0)
+
+    return pl.pallas_call(
+        kernel,
+        grid=(n_chunks,),
+        in_specs=[
+            pl.BlockSpec((h, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((h, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((h, d), lambda i: (0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=__import__("jax").ShapeDtypeStruct((h, d), dtype),
+    )
+
+
+def exp_dg():
+    jax, jnp, pl, pltpu = _chip_setup()
+    fence = _fence_fn(jax, jnp)
+    d = 128
+    for dtype in (jnp.bfloat16, jnp.float32):
+        for h in (2048, 8192, 32768):
+            n_chunks = max(1, 4_000_000 // h)
+            total = n_chunks * h
+            try:
+                key = jax.random.PRNGKey(0)
+                idx = jax.random.randint(
+                    key, (n_chunks * h, 1), 0, h, jnp.int32)
+                tbl = jax.random.normal(key, (h, d)).astype(dtype)
+                call = _dg_call(jnp, pl, pltpu, h, d, n_chunks, dtype)
+
+                def make(loops, idx=idx, tbl=tbl, call=call):
+                    @jax.jit
+                    def run():
+                        def body(i, c):
+                            o = call((idx + i) % h, tbl)
+                            return c + o[0, 0].astype(jnp.float32)
+                        return jax.lax.fori_loop(0, loops, body,
+                                                 jnp.float32(0))
+                    return run
+
+                sec = slope_time(fence, make, spans=(3, 13), reps=2)
+                report("dg", H=h, dtype=str(jnp.dtype(dtype).name),
+                       m_rows_per_s=round(total / sec / 1e6, 1))
+            except Exception as e:
+                report("dg", H=h, dtype=str(jnp.dtype(dtype).name),
+                       error=f"{type(e).__name__}: {str(e)[:200]}")
+
+
+def exp_vmemcap():
+    jax, jnp, pl, pltpu = _chip_setup()
+    fence = _fence_fn(jax, jnp)
+    d = 128
+    for h in (32768, 49152, 65536, 98304, 131072):
+        try:
+            key = jax.random.PRNGKey(0)
+            idx = jax.random.randint(key, (h, 1), 0, h, jnp.int32)
+            tbl = jax.random.normal(key, (h, d)).astype(jnp.bfloat16)
+            call = _dg_call(jnp, pl, pltpu, h, d, 1, jnp.bfloat16)
+            out = call(idx, tbl)
+            fence(out)
+            report("vmemcap", H=h, bytes=h * d * 2, ok=True)
+        except Exception as e:
+            report("vmemcap", H=h, bytes=h * d * 2, ok=False,
+                   error=f"{type(e).__name__}: {str(e)[:160]}")
+
+
+def exp_iterv():
+    """Full sync-iteration sec/iter on the bench config across Pallas tile
+    sizes (the r3-shipping head had 512 KB → T=64-row tiles at K=16;
+    per-tile overhead may be a real cost at ~2500 tiles/iter)."""
+    import jax
+    import jax.numpy as jnp
+
+    from bench import synth_powerlaw_graph
+    from force2vec_tpu.train.sync import SyncForce2Vec
+    from force2vec_tpu.train.trainer import TrainConfig
+    import force2vec_tpu.ops.pallas_force as pf
+
+    fence = _fence_fn(jax, jnp)
+    graph = synth_powerlaw_graph()
+    cfg = TrainConfig(dim=128, model="tdist", ns=5, batch_size=256,
+                      gather_dtype="bfloat16")
+    for tb in (512 * 1024, 1024 * 1024, 2 * 1024 * 1024, 4 * 1024 * 1024):
+        pf._TILE_BYTES = tb
+        try:
+            fv = SyncForce2Vec(graph, cfg, min_width=8, hub_width=128)
+            x = fv.init_embedding(seed=1)
+            key = jax.random.PRNGKey(1)
+
+            def make(loops, fv=fv, x=x, key=key):
+                def run():
+                    return fv._train_jit(fv._garr, x, key, loops, 0)
+                return run
+
+            sec = slope_time(fence, make, spans=(10, 60), reps=2)
+            ups = graph.nnz + graph.n * cfg.ns
+            report("iterv", tile_bytes=tb, ms_per_iter=round(sec * 1e3, 3),
+                   m_updates_per_s=round(ups / sec / 1e6, 1))
+        except Exception as e:
+            report("iterv", tile_bytes=tb,
+                   error=f"{type(e).__name__}: {str(e)[:200]}")
+    pf._TILE_BYTES = 512 * 1024
+
+
+if __name__ == "__main__":
+    exps = sys.argv[1:] or ["uniq"]
+    for e in exps:
+        fn = globals().get(f"exp_{e}")
+        if fn is None:
+            print(f"unknown exp {e}")
+            continue
+        try:
+            fn()
+        except Exception:
+            traceback.print_exc()

@@ -72,6 +72,13 @@ def build_parser() -> argparse.ArgumentParser:
         help="vertex schedule: global negative-sample pool size used when "
         "-bs 1 requests per-vertex negatives",
     )
+    p.add_argument(
+        "--sm-table",
+        action="store_true",
+        help="sigmoid family: evaluate σ via the reference's 2048-entry "
+        "lookup table (fast_SM parity mode, sample/algorithms.cpp:755-776) "
+        "instead of the exact sigmoid",
+    )
     p.add_argument("--verbose", action="store_true")
     return p
 
@@ -92,6 +99,7 @@ def main(argv=None) -> int:
         lr=args.lr,
         per_vertex_samples=(args.bs == 1),
         gather_dtype=args.gather_dtype,
+        sm_table=args.sm_table,
     )
     # The batch-path runner is only constructed when the batch schedule is
     # selected — its __init__ pushes rowptr/colids/edge_src to the device,
@@ -99,7 +107,7 @@ def main(argv=None) -> int:
     # --schedule sync|vertex builds its own layout.
     from force2vec_tpu.models.forces import get_model
 
-    model_obj = get_model(model)
+    model_obj = get_model(model, sm_table=args.sm_table)
     batch_display = min(cfg.batch_size, graph.n)
     print(
         f"graph {args.input}: n={graph.n} nnz={graph.nnz}; model={model_obj.name} "

@@ -69,7 +69,7 @@ class VertexShardedForce2Vec:
     ):
         self.graph = graph
         self.config = config
-        self.model = get_model(config.model)
+        self.model = get_model(config.model, sm_table=config.sm_table)
         if self.model.repulsion == "all":
             raise ValueError("tdist_exact runs the batch trainer, not vertex-sharded")
         if sampling not in ("shared", "pool"):
@@ -153,17 +153,34 @@ class VertexShardedForce2Vec:
         self._iteration = self._build_iteration_fn()
         train = self._build_train_fn()
 
+        # walk-fetch overflow counter: device-side int32 total of a2a
+        # cap-overflow drops across all trained iterations (0 for the exact
+        # ring and the CSR models); read via ``walk_overflow_dropped()``.
+        self._overflow_dev = jnp.int32(0)
+
         def jit_for(k):
             sharded = jax.shard_map(
                 lambda g, x, key, off: train(g, x, key, k, off),
                 mesh=self.mesh,
                 in_specs=(self._gspecs, self.x_spec, P(), P()),
-                out_specs=self.x_spec,
+                out_specs=(self.x_spec, P()),
                 check_vma=False,
             )
-            return jax.jit(sharded)
+            jf = jax.jit(sharded)
+
+            def run(g, x, key, off):
+                xn, drops = jf(g, x, key, off)
+                self._overflow_dev = self._overflow_dev + drops
+                return xn
+
+            return run
 
         self._train_jit = make_train_dispatcher(jit_for)
+
+    def walk_overflow_dropped(self) -> int:
+        """Total a2a walk-fetch slots dropped past the cap over every
+        iteration trained so far (device counter; fetching syncs)."""
+        return int(np.asarray(self._overflow_dev))
 
     def _preflight_walk_cap(self, iters: int = 4, slack: float = 1.5) -> int:
         """Host-side sizing of the a2a walk-fetch cap: run ``iters`` rounds
@@ -180,6 +197,7 @@ class VertexShardedForce2Vec:
         owner_v = lay.shard_of[lay.inv_perm]  # owner of original id v
         n = g.n
         worst = 0
+        P_ = self.P
         for _ in range(iters):
             cur = np.arange(n, dtype=np.int64)
             tgts = []
@@ -191,19 +209,19 @@ class VertexShardedForce2Vec:
                 tgts.append(cur)
             tgt = np.stack(tgts, axis=1)  # [n, wl] original ids
             t_owner = owner_v[tgt]
-            w_owner = owner_v[:, None].repeat(wl, axis=1)
-            for q in range(self.P):
-                mq = w_owner == q
-                tq, oq = tgt[mq], t_owner[mq]
-                rem = oq != q
-                tq, oq = tq[rem], oq[rem]
-                if len(oq):
-                    counts = np.bincount(
-                        oq, weights=None, minlength=self.P
-                    )  # non-dedup upper bound is cheap; dedup exact below
-                    for p in np.nonzero(counts)[0]:
-                        need = np.unique(tq[oq == p]).size
-                        worst = max(worst, need)
+            w_owner = np.broadcast_to(owner_v[:, None], tgt.shape)
+            # one np.unique over (walker-owner, target)-encoded keys replaces
+            # the former O(P²) python loop of per-pair uniques (minutes of
+            # numpy at large n·P — ADVICE r3)
+            rem = t_owner != w_owner
+            enc = (
+                (w_owner[rem].astype(np.int64) * P_ + t_owner[rem]) * n
+                + tgt[rem]
+            )
+            pairs = np.unique(enc) // n  # one entry per unique (q,p,target)
+            if pairs.size:
+                counts = np.bincount(pairs, minlength=P_ * P_)
+                worst = max(worst, int(counts.max()))
         cap = int(-(-int(worst * slack) // 8) * 8)
         return max(8, min(cap, lay.n_loc))
 
@@ -255,12 +273,16 @@ class VertexShardedForce2Vec:
 
         def force_sum(kind, xi, xj, dg, invd, step):
             k = xj.shape[1]
+            mask = (
+                jnp.arange(k, dtype=jnp.int32)[None, :] < dg[:, None]
+            )[:, :, None]
             if kind == "edge":
-                f = model.edge_force(xi[:, None, :], xj, invd[:, None, None], step)
+                f = model.edge_force(
+                    xi[:, None, :], xj, invd[:, None, None], step, mask=mask
+                )
             else:
-                f = model.sample_force(xi[:, None, :], xj, step)
-            mask = jnp.arange(k, dtype=jnp.int32)[None, :] < dg[:, None]
-            return jnp.sum(jnp.where(mask[:, :, None], f, 0), axis=1)
+                f = model.sample_force(xi[:, None, :], xj, step, mask=mask)
+            return jnp.sum(f, axis=1)
 
         def bucket_force(g, x_loc, xtab, bi, b, step):
             """Masked ELL force for one slab, gathering neighbors from
@@ -352,10 +374,22 @@ class VertexShardedForce2Vec:
             xl = jnp.take(x_loc, lr, axis=0)
             xj = jnp.where(is_local[:, None], xl, xr).reshape(n_loc, wl, dim)
             ok = (valid & (is_local | remote_ok)).reshape(n_loc, wl)
-            f = model.edge_force(
-                x_loc[:, None, :], xj, invd[:, None, None], step
+            # overflow observability (ADVICE r3): slots whose per-owner
+            # unique rank exceeded the static cap C are dropped from this
+            # iteration's attraction — count them ON DEVICE so a
+            # distribution shift cannot degrade quality invisibly.  The
+            # count is psummed to a replicated scalar and surfaced via
+            # ``last_walk_overflow`` / asserted 0 in tests.
+            dropped = jnp.sum(
+                ((grp < Pn) & (upos_slot >= C)).astype(jnp.int32)
             )
-            return jnp.sum(jnp.where(ok[:, :, None], f, 0), axis=1)
+            if Pn > 1:
+                dropped = jax.lax.psum(dropped, "vp")
+            f = model.edge_force(
+                x_loc[:, None, :], xj, invd[:, None, None], step,
+                mask=ok[:, :, None],
+            )
+            return jnp.sum(f, axis=1), dropped
 
         def attraction_walk(g, x_loc, walks, step):
             """Sigmoid force against the walk targets (global ids), fetched
@@ -364,7 +398,9 @@ class VertexShardedForce2Vec:
             framework's ring-attention analog: the KV rotation is an
             embedding-chunk rotation (SURVEY.md §5).  With
             ``walk_fetch='a2a'`` the needed-rows-only exchange of
-            :func:`attraction_walk_a2a` replaces the ring."""
+            :func:`attraction_walk_a2a` replaces the ring.  Returns
+            ``(acc, dropped)`` — dropped is the replicated count of
+            cap-overflow slots (always 0 for the exact ring)."""
             if walk_fetch == "a2a":
                 return attraction_walk_a2a(g, x_loc, walks, step)
             ownerW = jnp.take(g["shard_of"], jnp.clip(walks, 0, n_total - 1))
@@ -379,16 +415,17 @@ class VertexShardedForce2Vec:
                 xj = jnp.take(chunk, lrW.reshape(-1), axis=0).reshape(
                     n_loc, wl, dim
                 )
-                f = model.edge_force(
-                    x_loc[:, None, :], xj, invd[:, None, None], step
-                )
                 m = (ownerW == owner_r) & validW
-                acc = acc + jnp.sum(jnp.where(m[:, :, None], f, 0), axis=1)
+                f = model.edge_force(
+                    x_loc[:, None, :], xj, invd[:, None, None], step,
+                    mask=m[:, :, None],
+                )
+                acc = acc + jnp.sum(f, axis=1)
                 if r < Pn - 1:
                     chunk = jax.lax.ppermute(
                         chunk, "vp", [(i, (i + 1) % Pn) for i in range(Pn)]
                     )
-            return acc
+            return acc, jnp.int32(0)
 
         def iteration(g, x_loc, pool_rows, choice, walks, step):
             """One epoch-synchronous step on this shard.
@@ -413,9 +450,11 @@ class VertexShardedForce2Vec:
             full = jnp.full((n_loc,), ns, dtype=jnp.int32)
             invd0 = jnp.zeros((n_loc,), dtype=x_loc.dtype)
 
+            drops = jnp.int32(0)
             if model.attraction == "walk":
                 rep = force_sum("sample", x_loc, s, full, invd0, step)
-                upd = attraction_walk(g, x_loc, walks, step) + rep
+                aw, drops = attraction_walk(g, x_loc, walks, step)
+                upd = aw + rep
             else:
                 # 1. issue the exchange (both tiers)
                 send = jnp.take(x_loc, g["send_idx"][0], axis=0)  # [P, H, D]
@@ -458,8 +497,8 @@ class VertexShardedForce2Vec:
                 fnorm = jnp.sum(upd * upd, axis=-1, keepdims=True)
                 safe = jnp.where(fnorm > 0, fnorm, 1.0)
                 factor = jnp.where(fnorm > 0, step / jnp.sqrt(safe), 0.0)
-                return x_loc + factor * upd
-            return x_loc + upd
+                return x_loc + factor * upd, drops
+            return x_loc + upd, drops
 
         return iteration
 
@@ -584,7 +623,8 @@ class VertexShardedForce2Vec:
             return pool_g, choice, walks
 
         def train(g, x_loc, key, num_iters, iter_offset):
-            def body(t, xc):
+            def body(t, carry):
+                xc, drop_acc = carry
                 it = iter_offset + t
                 pool_g, choice, walks = draw(g, key, it)
                 rows = pool_fn(xc, pool_g)
@@ -592,9 +632,12 @@ class VertexShardedForce2Vec:
                     step = lr * jnp.power(jnp.float32(0.999), it).astype(xc.dtype)
                 else:
                     step = jnp.asarray(lr, dtype=xc.dtype)
-                return iteration(g, xc, rows, choice, walks, step)
+                xn, drops = iteration(g, xc, rows, choice, walks, step)
+                return xn, drop_acc + drops
 
-            return jax.lax.fori_loop(0, num_iters, body, x_loc)
+            return jax.lax.fori_loop(
+                0, num_iters, body, (x_loc, jnp.int32(0))
+            )
 
         return train
 
@@ -629,12 +672,12 @@ class VertexShardedForce2Vec:
             one,
             mesh=self.mesh,
             in_specs=(self._gspecs, self.x_spec, P(), ch_spec, P(), P()),
-            out_specs=self.x_spec,
+            out_specs=(self.x_spec, P()),
             check_vma=False,
         )
         ch = None if choice is None else jnp.asarray(choice, dtype=jnp.int32)
         w = None if walks is None else jnp.asarray(walks, dtype=jnp.int32)
-        return sharded(
+        xn, drops = sharded(
             self._garr,
             jnp.asarray(x),
             jnp.asarray(pool_ids, dtype=jnp.int32),
@@ -642,6 +685,8 @@ class VertexShardedForce2Vec:
             w,
             jnp.asarray(step, dtype=self._dtype),
         )
+        self._overflow_dev = self._overflow_dev + drops
+        return xn
 
     def comm_stats(self) -> dict:
         """Per-iteration communication accounting, per shard (rows are
@@ -679,7 +724,13 @@ class VertexShardedForce2Vec:
                 rows["rwalk_id_words_sent"] = (
                     2 * cfg.walk_length * (Pn - 1) * lay.n_loc
                 )
-        emb_rows = sum(v for k, v in rows.items() if k.endswith(("_sent", "_recv", "_rows")))
+        # id words ("*_id_words_*") are 4 B each, NOT [D]-wide embedding
+        # rows — keep them out of the row sum (they are charged at 4 B in
+        # bytes_per_iter_per_shard below)
+        emb_rows = sum(
+            v for k, v in rows.items()
+            if k.endswith(("_rows_sent", "_rows_recv", "_rows"))
+        )
         out = {
             **rows,
             "bytes_per_iter_per_shard": emb_rows * dim * itemsize

@@ -79,54 +79,81 @@ def _local_rsum(v):
     return jnp.sum(v, axis=-1, keepdims=True)
 
 
-def _tdist_edge(xi, xj, inv_deg, step, rsum=_local_rsum):
-    # d1 = -2/(1+||xi-xj||²); clamp(d1·diff)·STEP  (algorithms.cpp:598-612)
+def _mask1(coeff, mask):
+    """Zero the per-pair scalar coefficient where ``mask`` is False.
+
+    ``mask`` broadcasts against the keepdims rsum output ([.., K, 1]).
+    Masking the SCALAR (instead of the [.., K, D] force vector) makes the
+    padded-slot contribution exactly zero at 1/D the vector-mask cost —
+    for every model the force is coeff(a) ⊗ vector, and a zero coeff
+    survives the per-component clamp (clamp(0·diff) = 0).
+
+    A bool mask selects (NaN/inf-safe); a float 0/1 mask multiplies —
+    the form Pallas callers use, since Mosaic only supports minor-dim
+    broadcast insertion for 32-bit element types (every kernel coeff here
+    is finite, so multiply ≡ select)."""
+    if mask is None:
+        return coeff
+    if mask.dtype == jnp.bool_:
+        return jnp.where(mask, coeff, 0.0)
+    return coeff * mask
+
+
+def _tdist_edge(xi, xj, inv_deg, step, rsum=_local_rsum, mask=None):
+    # d1 = -2/(1+||xi-xj||²); clamp(d1·diff)·STEP  (algorithms.cpp:598-612).
+    # The clamp is omitted because it provably never binds here: for any
+    # component c, a = Σ diff² ≥ diff_c², so |d1·diff_c| = 2|diff_c|/(1+a)
+    # ≤ 2|diff_c|/(1+diff_c²) ≤ 1 < MAXBOUND — the reference's scale() is
+    # an identity on this term (it DOES bind for the repulsion term, which
+    # keeps it).  step and mask fold into the per-pair scalar so the only
+    # full-width ops are diff, the squared-distance reduce, and one
+    # coeff·diff multiply.
     diff = xi - xj
     a = rsum(diff * diff)
-    d1 = -2.0 / (1.0 + a)
-    return step * _clamp(d1 * diff)
+    d1 = _mask1(step * -2.0 / (1.0 + a), mask)
+    return d1 * diff
 
 
-def _tdist_exact_edge(xi, xj, inv_deg, step, rsum=_local_rsum):
+def _tdist_exact_edge(xi, xj, inv_deg, step, rsum=_local_rsum, mask=None):
     # clamp(d1·diff) - clamp(d2·diff) with d2 = 2/(a(1+a))
     # (algorithms.cpp:378-395)
     diff = xi - xj
     a = rsum(diff * diff)
-    d1 = -2.0 / (1.0 + a)
-    d2 = 2.0 / (a * (1.0 + a))
+    d1 = _mask1(-2.0 / (1.0 + a), mask)
+    d2 = _mask1(2.0 / (a * (1.0 + a)), mask)
     return step * (_clamp(d1 * diff) - _clamp(d2 * diff))
 
 
-def _sigmoid_edge(xi, xj, inv_deg, step, rsum=_local_rsum):
+def _sigmoid_edge(xi, xj, inv_deg, step, rsum=_local_rsum, mask=None):
     # STEP · degi · (1-σ(xi·xj)) · xj with degi = 1/(deg_i+1)
     # (algorithms.cpp:854-868)
     a = rsum(xi * xj)
-    return step * inv_deg * (1.0 - jax.nn.sigmoid(a)) * xj
+    return step * inv_deg * _mask1(1.0 - jax.nn.sigmoid(a), mask) * xj
 
 
-def _fr_edge(xi, xj, inv_deg, step, rsum=_local_rsum):
+def _fr_edge(xi, xj, inv_deg, step, rsum=_local_rsum, mask=None):
     # diff = xj - xi; w = a + 1/a if a>0 else 0  (algorithms.cpp:196-211)
     diff = xj - xi
     a = rsum(diff * diff)
     w = jnp.where(a > 0.0, a + 1.0 / jnp.where(a > 0.0, a, 1.0), 0.0)
-    return w * diff
+    return _mask1(w, mask) * diff
 
 
-def _linlog_edge(xi, xj, inv_deg, step, rsum=_local_rsum):
+def _linlog_edge(xi, xj, inv_deg, step, rsum=_local_rsum, mask=None):
     # w = log2(1 + sqrt(a))  (algorithms.cpp:290-303)
     diff = xj - xi
     a = rsum(diff * diff)
     w = jnp.log2(1.0 + jnp.sqrt(a))
-    return w * diff
+    return _mask1(w, mask) * diff
 
 
-def _forceatlas_edge(xi, xj, inv_deg, step, rsum=_local_rsum):
+def _forceatlas_edge(xi, xj, inv_deg, step, rsum=_local_rsum, mask=None):
     # w = sqrt(a) + 1/a if a>0 else 0  (algorithms.cpp:101-115)
     diff = xj - xi
     a = rsum(diff * diff)
     safe = jnp.where(a > 0.0, a, 1.0)
     w = jnp.where(a > 0.0, jnp.sqrt(safe) + 1.0 / safe, 0.0)
-    return w * diff
+    return _mask1(w, mask) * diff
 
 
 # ---------------------------------------------------------------------------
@@ -134,7 +161,7 @@ def _forceatlas_edge(xi, xj, inv_deg, step, rsum=_local_rsum):
 # ---------------------------------------------------------------------------
 
 
-def _tdist_rep(xi, s, step, rsum=_local_rsum):
+def _tdist_rep(xi, s, step, rsum=_local_rsum, mask=None):
     # d1 = 2/(r(1+r)); STEP·clamp(d1·diff)  (algorithms.cpp:614-627).
     # The reference computes d1 unguarded; it is compiled with -ffast-math
     # (Makefile:10), so a sample coinciding with the vertex (r = 0, which
@@ -144,21 +171,21 @@ def _tdist_rep(xi, s, step, rsum=_local_rsum):
     diff = xi - s
     r = rsum(diff * diff)
     d1 = jnp.where(r > 0.0, 2.0 / jnp.where(r > 0.0, r * (1.0 + r), 1.0), 0.0)
-    return step * _clamp(d1 * diff)
+    return step * _clamp(_mask1(d1, mask) * diff)
 
 
-def _sigmoid_rep(xi, s, step, rsum=_local_rsum):
+def _sigmoid_rep(xi, s, step, rsum=_local_rsum, mask=None):
     # -STEP·σ(xi·s)·s  (algorithms.cpp:898-911)
     r = rsum(xi * s)
-    return -step * jax.nn.sigmoid(r) * s
+    return -step * _mask1(jax.nn.sigmoid(r), mask) * s
 
 
-def _layout_rep(xi, s, step, rsum=_local_rsum):
+def _layout_rep(xi, s, step, rsum=_local_rsum, mask=None):
     # diff = s - xi; -(1/r)·diff, guarded r>0  (algorithms.cpp:117-128)
     diff = s - xi
     r = rsum(diff * diff)
     inv = jnp.where(r > 0.0, 1.0 / jnp.where(r > 0.0, r, 1.0), 0.0)
-    return -inv * diff
+    return -_mask1(inv, mask) * diff
 
 
 @dataclasses.dataclass(frozen=True)
@@ -249,6 +276,38 @@ FORCE_MODELS = {
     ),
 }
 
+_TABLE_MODELS: dict = {}
+
+
+def with_table_sigmoid(model: ForceModel) -> ForceModel:
+    """Variant of a sigmoid-family model whose σ is the reference's
+    2048-entry table lookup (fast_SM, sample/algorithms.cpp:755-776) —
+    the bit-level parity-experiment mode.  Runs on the jnp paths only
+    (the 1-D table gather has no Mosaic lowering, so trainers disable the
+    Pallas kernel when it is selected)."""
+    if model.edge_force is not _sigmoid_edge:
+        raise ValueError(
+            f"sm_table applies to the sigmoid family only, not {model.name!r}"
+        )
+    if model.name in _TABLE_MODELS:
+        return _TABLE_MODELS[model.name]
+    table = make_sm_table()
+
+    def edge(xi, xj, inv_deg, step, rsum=_local_rsum, mask=None):
+        a = rsum(xi * xj)
+        return step * inv_deg * _mask1(1.0 - table_sigmoid(a, table), mask) * xj
+
+    def rep(xi, s, step, rsum=_local_rsum, mask=None):
+        r = rsum(xi * s)
+        return -step * _mask1(table_sigmoid(r, table), mask) * s
+
+    out = dataclasses.replace(
+        model, name=model.name + "_table", edge_force=edge, sample_force=rep
+    )
+    _TABLE_MODELS[model.name] = out
+    return out
+
+
 # CLI option-number compatibility (Test/Force2Vec.cpp:129-188). Options
 # 8-11 are the reference's AVX512 builds of 5/6/7 — on TPU they are the
 # same models (the Pallas/XLA kernels replace the intrinsics), so they
@@ -268,8 +327,14 @@ OPTION_TO_MODEL = {
 }
 
 
-def get_model(name_or_option) -> ForceModel:
-    """Look up a model by name or by reference CLI option number."""
+def get_model(name_or_option, sm_table: bool = False) -> ForceModel:
+    """Look up a model by name or by reference CLI option number.
+
+    ``sm_table=True`` swaps the sigmoid family's exact σ for the
+    reference's 2048-entry lookup table (fast_SM parity mode)."""
     if isinstance(name_or_option, int):
         name_or_option = OPTION_TO_MODEL[name_or_option]
-    return FORCE_MODELS[name_or_option]
+    model = FORCE_MODELS[name_or_option]
+    if sm_table:
+        model = with_table_sigmoid(model)
+    return model

@@ -26,6 +26,29 @@ def _sigmoid(v):
     return 1.0 / (1.0 + np.exp(-v.astype(np.float64))).astype(np.float32)
 
 
+# fast_SM table mirror (init_SM_TABLE/fast_SM, sample/algorithms.cpp:755-776):
+# 2048 entries over [-SM_BOUND, SM_BOUND); out-of-range clamps to 0/1.  The
+# index is clipped to the last entry (the C++ reads past the table for
+# v == SM_BOUND exactly — UB we do not reproduce).
+_SM_TABLE_SIZE, _SM_BOUND = 2048, 6.0
+_SM_RES = _SM_TABLE_SIZE / (2.0 * _SM_BOUND)
+_SM_TABLE = 1.0 / (
+    1.0 + np.exp(
+        -(2.0 * _SM_BOUND * np.arange(_SM_TABLE_SIZE) / _SM_TABLE_SIZE
+          - _SM_BOUND)
+    )
+).astype(np.float32)
+
+
+def _fast_sm(v):
+    if v > _SM_BOUND:
+        return np.float32(1.0)
+    if v < -_SM_BOUND:
+        return np.float32(0.0)
+    idx = min(int((v + _SM_BOUND) * _SM_RES), _SM_TABLE_SIZE - 1)
+    return np.float32(_SM_TABLE[idx])
+
+
 def run_reference(
     graph: Graph,
     x0: np.ndarray,
@@ -36,6 +59,7 @@ def run_reference(
     neg_ids: np.ndarray,  # [iters, NB, M] int; M = ns (shared) or ns*B (per-vertex)
     per_vertex: bool = False,
     walks: np.ndarray = None,  # [iters, n, L] int (rwalk only)
+    sm_table: bool = False,  # fast_SM table mode (sigmoid family)
 ) -> np.ndarray:
     """Run `iters` iterations of the chosen variant, returning the final
     embedding.  Batch-sequential, exactly like the reference: batch b reads
@@ -47,6 +71,7 @@ def run_reference(
     rowptr, colids = graph.rowptr, graph.colids
     deg = graph.degrees
 
+    sig = _fast_sm if sm_table else _sigmoid
     step = np.float32(lr)
     for it in range(iters):
         for b in range(nb):
@@ -102,12 +127,12 @@ def run_reference(
                     for j in targets:
                         xj = x[j]
                         a = np.float32(np.dot(xi, xj))
-                        acc[li] += step * degi * (1.0 - _sigmoid(a)) * xj
+                        acc[li] += step * degi * (1.0 - sig(a)) * xj
                     base = li if per_vertex else 0
                     count = ns if per_vertex else s_rows.shape[0]
                     for j in range(base, base + count):
                         r = np.float32(np.dot(xi, s_rows[j]))
-                        acc[li] -= step * _sigmoid(r) * s_rows[j]
+                        acc[li] -= step * sig(r) * s_rows[j]
 
                 elif model in ("fr", "linlog", "forceatlas"):
                     # layout-family attraction (algorithms.cpp:196-222 /

@@ -58,16 +58,19 @@ def _kernel(model: ForceModel, kind: str, k: int,
     step = step_ref[0, 0]
     t = xi.shape[0]
     k_iota = jax.lax.broadcasted_iota(jnp.int32, (t, k), 1)
-    # float mask (not bool): Mosaic only supports minor-dim broadcast
-    # insertion for 32-bit types
-    maskf = (k_iota < deg_ref[:]).astype(xi.dtype)  # [T, K]
+    # mask applied to the per-pair SCALAR coefficient inside the force
+    # formula ([T, K, 1] vs the former [T, K, D] vector mask — 1/D the
+    # VPU work, exactly-zero padded slots either way).  Float (not bool):
+    # Mosaic only supports minor-dim broadcast insertion for 32-bit types,
+    # so _mask1 multiplies by the 0/1 mask.
+    mask = (k_iota < deg_ref[:]).astype(xi.dtype)[:, :, None]  # [T, K, 1]
     if kind == "edge":
         f = model.edge_force(
-            xi[:, None, :], xj, invd_ref[:][:, :, None], step
+            xi[:, None, :], xj, invd_ref[:][:, :, None], step, mask=mask
         )
     else:
-        f = model.sample_force(xi[:, None, :], xj, step)
-    out_ref[:] = jnp.sum(f * maskf[:, :, None], axis=1)
+        f = model.sample_force(xi[:, None, :], xj, step, mask=mask)
+    out_ref[:] = jnp.sum(f, axis=1)
 
 
 def _rep_grouped_kernel(model: ForceModel, xi_ref, sg_ref, step_ref, out_ref):

@@ -60,7 +60,7 @@ class SyncForce2Vec:
     ):
         self.graph = graph
         self.config = config
-        self.model = get_model(config.model)
+        self.model = get_model(config.model, sm_table=config.sm_table)
         if self.model.repulsion == "all":
             raise ValueError("tdist_exact uses the batch trainer, not sync mode")
         # Default ON for TPU backends (None = auto).  Measured on v5e with
@@ -73,6 +73,8 @@ class SyncForce2Vec:
         # mode separately).
         if use_pallas is None:
             use_pallas = jax.default_backend() != "cpu"
+        if config.sm_table:
+            use_pallas = False  # 1-D table gather has no Mosaic lowering
         self.use_pallas = bool(use_pallas)
         self.tile_budget_bytes = int(tile_budget_bytes)
         # mult8 width ladder: widths stay multiples of the 8-row sublane
@@ -208,9 +210,9 @@ class SyncForce2Vec:
         tile_budget_bytes = self.tile_budget_bytes
         gsize = (gdt or self._dtype).itemsize
 
-        def chunk_spans(local: int, width: int):
+        def chunk_spans(local: int, width: int, cap_bytes: Optional[int] = None):
             """Static [(row_offset, row_count)] covering [0, local)."""
-            cap = tile_budget_bytes // max(width * dim * gsize, 1)
+            cap = (cap_bytes or tile_budget_bytes) // max(width * dim * gsize, 1)
             cap = max(8, (cap // 8) * 8)
             if local <= cap:
                 return [(0, local)]
@@ -231,14 +233,19 @@ class SyncForce2Vec:
             if xj.dtype != xi.dtype:  # low-precision gather replica
                 xj = xj.astype(xi.dtype)
             k = xj.shape[1]
+            mask = (
+                jnp.arange(k, dtype=jnp.int32)[None, :] < dg[:, None]
+            )[:, :, None]
             if kind == "edge":
                 f = model.edge_force(
-                    xi[:, None, :], xj, invd[:, None, None], step, rsum=rsum
+                    xi[:, None, :], xj, invd[:, None, None], step, rsum=rsum,
+                    mask=mask,
                 )
             else:
-                f = model.sample_force(xi[:, None, :], xj, step, rsum=rsum)
-            mask = jnp.arange(k, dtype=jnp.int32)[None, :] < dg[:, None]
-            return jnp.sum(jnp.where(mask[:, :, None], f, 0), axis=1)
+                f = model.sample_force(
+                    xi[:, None, :], xj, step, rsum=rsum, mask=mask
+                )
+            return jnp.sum(f, axis=1)
 
         def shard_rows(total: int):
             """(local_count, offset_fn) for splitting `total` rows over dp."""
@@ -264,10 +271,13 @@ class SyncForce2Vec:
         group_cap = min(self.take_group_bytes, tile_budget_bytes)
 
         def build_take_groups():
+            # pieces are chunked at min(group_cap, tile_budget): merging
+            # alone would let one big bucket's tile exceed the take-group
+            # granularity the auto-sizer targets (ADVICE r3)
             groups, cur, cur_bytes = [], [], 0
             for bi, width, start, count, real, is_hub in bucket_meta:
                 local = count // n_dp
-                for c_off, c_rows in chunk_spans(local, width):
+                for c_off, c_rows in chunk_spans(local, width, group_cap):
                     piece_bytes = c_rows * width * dim * gsize
                     if cur and cur_bytes + piece_bytes > group_cap:
                         groups.append(cur)

@@ -94,6 +94,11 @@ class TrainConfig:
     # replica cast once per iteration.  'bfloat16' halves gather traffic;
     # force math still runs in ``dtype``.  None disables the replica.
     gather_dtype: Optional[str] = None
+    # Reference fast_SM parity mode: sigmoid family evaluates σ via the
+    # 2048-entry lookup table (sample/algorithms.cpp:755-776) instead of
+    # the exact VPU sigmoid.  jnp paths only (no Mosaic lowering for the
+    # 1-D table gather) — trainers disable the Pallas kernel when set.
+    sm_table: bool = False
 
     def resolve_lr(self, model: ForceModel) -> float:
         return model.default_lr if self.lr is None else self.lr
@@ -111,7 +116,7 @@ class Force2Vec:
     def __init__(self, graph: Graph, config: TrainConfig = TrainConfig()):
         self.graph = graph
         self.config = config
-        self.model = get_model(config.model)
+        self.model = get_model(config.model, sm_table=config.sm_table)
         b = min(config.batch_size, graph.n)
         nb = -(-graph.n // b)
         chunk = config.edge_chunk or _auto_edge_chunk(graph, nb)
