@@ -55,9 +55,11 @@ def main():
     ap.add_argument("--deg", type=int, default=34)
     ap.add_argument("--iters", type=int, default=300)
     ap.add_argument("--eval-size", type=int, default=100_000)
+    ap.add_argument("--tag", default="", help="artifact suffix: BIGRUN_<tag>.json")
+    ap.add_argument("--mtx", default="/tmp/bigrun.mtx")
     args = ap.parse_args()
 
-    path = synth_big(args.n, args.deg)
+    path = synth_big(args.n, args.deg, path=args.mtx)
     size_mb = os.path.getsize(path) / 1e6
 
     from force2vec_tpu.graphs import io as gio
@@ -132,9 +134,10 @@ def main():
         },
         "eval": {"subsample": args.eval_size, **{k: round(v, 4) for k, v in scores.items()}},
     }
-    with open(os.path.join(REPO, "BIGRUN.json"), "w") as f:
+    name = f"BIGRUN_{args.tag}.json" if args.tag else "BIGRUN.json"
+    with open(os.path.join(REPO, name), "w") as f:
         json.dump(out, f, indent=2)
-    print("wrote BIGRUN.json", flush=True)
+    print(f"wrote {name}", flush=True)
 
 
 if __name__ == "__main__":
