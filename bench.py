@@ -95,8 +95,12 @@ def main():
     # option-5 sampling pattern (sample/algorithms.cpp:577-586);
     # BENCH_PER_VERTEX=1 switches to the -bs 1 per-vertex flavor.
     per_vertex = os.environ.get("BENCH_PER_VERTEX", "") == "1"
+    # BENCH_MODEL=tdist|sigmoid|rwalk: the three throughput-relevant force
+    # families (reference options 5/11, 6/9, 7/10).  tdist is the headline;
+    # the others record their own chip numbers (VERDICT r3 missing #2).
+    bench_model = os.environ.get("BENCH_MODEL", "tdist")
     cfg = TrainConfig(
-        dim=128, model="tdist", ns=5, batch_size=256,
+        dim=128, model=bench_model, ns=5, batch_size=256,
         per_vertex_samples=per_vertex, gather_dtype=gather_dtype,
     )
     fv = SyncForce2Vec(graph, cfg, min_width=8, hub_width=128)
@@ -113,8 +117,13 @@ def main():
         negs = np.random.default_rng(7).integers(
             0, graph.n - 1, size=(fv.layout.n_pad if per_vertex else ng, 5)
         ).astype(np.int32)
-        a = fv.run_iteration(x, negs)
-        b = jnp_fv.run_iteration(x, negs)
+        walks = None
+        if fv.model.attraction == "walk":
+            walks = np.random.default_rng(8).integers(
+                0, graph.n, size=(fv.layout.n_pad, cfg.walk_length)
+            ).astype(np.int32)
+        a = fv.run_iteration(x, negs, walks=walks)
+        b = jnp_fv.run_iteration(x, negs, walks=walks)
         err = float(np.asarray(jax.jit(
             lambda a, b: jnp.max(jnp.abs(a - b)))(a, b)))
         assert err < 1e-3, f"pallas/jnp parity failed on-chip: max err {err}"
@@ -146,12 +155,18 @@ def main():
     assert dispatch_s > -0.25 * times[span_a], (
         f"negative dispatch intercept ({dispatch_s:.3f}s) — slope unstable")
 
-    updates_per_iter = graph.nnz + graph.n * cfg.ns
+    updates_per_iter = (
+        graph.n * cfg.walk_length if bench_model == "rwalk" else graph.nnz
+    ) + graph.n * cfg.ns
     mups = updates_per_iter / sec_per_iter / 1e6
 
     # gather-bound roofline: slope-timed bulk take of the same row volume
     # the iteration gathers, at the same dtype
-    rows_per_iter = fv.layout.padded_edges + (
+    attraction_rows = (
+        fv.layout.n_pad * cfg.walk_length
+        if fv.model.attraction == "walk" else fv.layout.padded_edges
+    )
+    rows_per_iter = attraction_rows + (
         graph.n * cfg.ns if per_vertex
         else (-(-fv.layout.n_pad // cfg.batch_size)) * cfg.ns
     )
@@ -216,7 +231,8 @@ def main():
         )
     )
     print(
-        f"# n={graph.n} nnz={graph.nnz} dim=128 schedule=sync ns=5 "
+        f"# n={graph.n} nnz={graph.nnz} model={bench_model} dim=128 "
+        f"schedule=sync ns=5 "
         f"spans=({span_a},{span_b}) sec/iter={sec_per_iter*1e3:.2f}ms "
         f"dispatch={dispatch_s*1e3:.0f}ms total_wall={time.time()-t0:.1f}s "
         f"platform={jax.devices()[0].platform} pallas={fv.use_pallas} "

@@ -316,26 +316,199 @@ def exp_parts4():
     report("parts4", groups=groups, rows=m,
            take_ms=round(g_t * 1e3, 3), both_ms=round(b_t * 1e3, 3))
 
-    # sweep floor with real materialized tiles
-    def make_sweep_real(loops):
-        xg = x.astype(jnp.bfloat16)
-        tiles = jnp.take(xg, flat, axis=0).reshape(groups, t_rows, k, 128)
+    # sweep floor with real materialized tiles (tiles passed as an ARG —
+    # a closure constant would upload 666 MB with the compile request)
+    tiles_arg = jax.jit(
+        lambda xg: jnp.take(xg, flat, axis=0).reshape(groups, t_rows, k, 128)
+    )(x.astype(jnp.bfloat16))
 
+    def make_sweep_real(loops):
         @jax.jit
-        def run():
+        def run(tiles):
             def body(i, c):
                 s = jnp.float32(0)
                 for g in range(groups):
                     s = s + sweep(tiles[g], i)
                 return c + s
             return jax.lax.fori_loop(0, loops, body, jnp.float32(0))
-        return run
+        return lambda: run(tiles_arg)
 
     s_t = slope_time(fence, make_sweep_real, spans=(5, 30), reps=2)
     hidden = g_t + s_t - b_t
     report("parts4", sweep_ms=round(s_t * 1e3, 3),
            hidden_ms=round(hidden * 1e3, 3),
            overlap_frac=round(hidden / min(g_t, s_t), 3))
+
+
+def exp_mxusweep():
+    """Sweep-only comparison over pre-materialized tiles: elementwise VPU
+    kernel vs the separable MXU kernel at R ∈ {8, 16, 32, 64}."""
+    import jax
+    import jax.numpy as jnp
+
+    from bench import synth_powerlaw_graph
+    from force2vec_tpu.models.forces import get_model
+    from force2vec_tpu.ops.pallas_force import ell_force, ell_force_mxu
+    from force2vec_tpu.train.sync import SyncForce2Vec
+    from force2vec_tpu.train.trainer import TrainConfig
+
+    fence = _fence_fn(jax, jnp)
+    graph = synth_powerlaw_graph()
+    cfg = TrainConfig(dim=128, model="tdist", ns=5, batch_size=256,
+                      gather_dtype="bfloat16")
+    fv = SyncForce2Vec(graph, cfg, min_width=8, hub_width=128)
+    lay = fv.layout
+    model = get_model("tdist")
+    x = fv.init_embedding(seed=1)
+    flat = np.concatenate(
+        [b.nbr.reshape(-1) for b in lay.buckets]).astype(np.int32)
+    k = 16
+    rows_per_group = (fv.take_group_bytes // (128 * 2) // k) * k
+    m = (flat.size // rows_per_group) * rows_per_group
+    flat = jnp.asarray(flat[:m])
+    groups = m // rows_per_group
+    t_rows = rows_per_group // k
+    xi0 = x[:t_rows]
+    dg_full = jnp.full((t_rows,), k, dtype=jnp.int32)
+    invd0 = jnp.zeros((t_rows,), dtype=x.dtype)
+    step = jnp.float32(0.02)
+    tiles_arg = jax.jit(
+        lambda xg: jnp.take(xg, flat, axis=0).reshape(groups, t_rows, k, 128)
+    )(x.astype(jnp.bfloat16))
+
+    def run_variant(name, sweep_fn):
+        def make(loops):
+            @jax.jit
+            def run(tiles):
+                def body(i, c):
+                    s = jnp.float32(0)
+                    for g in range(groups):
+                        s = s + sweep_fn(tiles[g], i)[0, 0]
+                    return c + s
+                return jax.lax.fori_loop(0, loops, body, jnp.float32(0))
+            return lambda: run(tiles_arg)
+        try:
+            sec = slope_time(fence, make, spans=(5, 30), reps=2)
+            report("mxusweep", variant=name, ms=round(sec * 1e3, 3),
+                   m_rows_per_s=round(m / sec / 1e6, 1))
+        except Exception as e:
+            report("mxusweep", variant=name,
+                   error=f"{type(e).__name__}: {str(e)[:160]}")
+
+    run_variant("vpu", lambda t_, i: ell_force(
+        model, "edge", xi0, t_, dg_full, invd0, step + 1e-12 * i))
+    for r in (8, 16, 32, 64):
+        run_variant(f"mxu_r{r}", lambda t_, i, r=r: ell_force_mxu(
+            model, xi0, t_, dg_full, invd0, step + 1e-12 * i, group_rows=r))
+
+
+def exp_sweepfloor():
+    """What bounds the ~3.7 ms sweep floor: pure HBM copy of the tile
+    volume, a read-only Pallas pass over the tiles, and a static-slice
+    take loop (per-take overhead isolation)."""
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    from bench import synth_powerlaw_graph
+    from force2vec_tpu.train.sync import SyncForce2Vec
+    from force2vec_tpu.train.trainer import TrainConfig
+
+    fence = _fence_fn(jax, jnp)
+    graph = synth_powerlaw_graph()
+    n = graph.n
+    cfg = TrainConfig(dim=128, model="tdist", ns=5, batch_size=256,
+                      gather_dtype="bfloat16")
+    fv = SyncForce2Vec(graph, cfg, min_width=8, hub_width=128)
+    lay = fv.layout
+    x = fv.init_embedding(seed=1)
+    flat = np.concatenate(
+        [b.nbr.reshape(-1) for b in lay.buckets]).astype(np.int32)
+    k = 16
+    rows_per_group = (fv.take_group_bytes // (128 * 2) // k) * k
+    m = (flat.size // rows_per_group) * rows_per_group
+    flat_j = jnp.asarray(flat[:m])
+    groups = m // rows_per_group
+    t_rows = rows_per_group // k
+    tiles_arg = jax.jit(
+        lambda xg: jnp.take(xg, flat_j, axis=0).reshape(
+            groups, t_rows, k, 128)
+    )(x.astype(jnp.bfloat16))
+    mb = m * 128 * 2 / 1e6
+
+    # 1. pure copy (read+write the full tile volume)
+    def make_copy(loops):
+        @jax.jit
+        def run(tiles):
+            def body(i, c):
+                t2 = tiles + jnp.bfloat16(1.0)
+                return c + t2[0, 0, 0, 0].astype(jnp.float32)
+            return jax.lax.fori_loop(0, loops, body, jnp.float32(0))
+        return lambda: run(tiles_arg)
+
+    sec = slope_time(fence, make_copy, spans=(5, 30), reps=2)
+    report("sweepfloor", variant="copy_rw", ms=round(sec * 1e3, 3),
+           gb_per_s=round(2 * mb / 1e3 / sec, 1))
+
+    # 2. read-only Pallas pass (same block structure as the force kernel)
+    tbytes = 512 * 1024
+    t_tile = max(8, (tbytes // (k * 128 * 4) // 8) * 8)
+
+    def ro_kernel(xj_ref, acc_ref):
+        acc_ref[:] = acc_ref[:] + jnp.sum(
+            xj_ref[:].astype(jnp.float32), axis=(0, 1))
+
+    def ro_call(tile):
+        return pl.pallas_call(
+            ro_kernel,
+            grid=(pl.cdiv(t_rows, t_tile),),
+            in_specs=[pl.BlockSpec((t_tile, k, 128), lambda i: (i, 0, 0),
+                                   memory_space=pltpu.VMEM)],
+            out_specs=pl.BlockSpec((1, 128), lambda i: (0, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((1, 128), jnp.float32),
+        )(tile)
+
+    def make_ro(loops):
+        @jax.jit
+        def run(tiles):
+            def body(i, c):
+                s = jnp.float32(0)
+                for g in range(groups):
+                    s = s + ro_call(tiles[g] + jnp.bfloat16(0) * i)[0, 0]
+                return c + s
+            return jax.lax.fori_loop(0, loops, body, jnp.float32(0))
+        return lambda: run(tiles_arg)
+
+    try:
+        sec = slope_time(fence, make_ro, spans=(5, 30), reps=2)
+        report("sweepfloor", variant="pallas_read", ms=round(sec * 1e3, 3),
+               gb_per_s=round(mb / 1e3 / sec, 1))
+    except Exception as e:
+        report("sweepfloor", variant="pallas_read",
+               error=f"{type(e).__name__}: {str(e)[:160]}")
+
+    # 3. static-slice takes (no dynamic_slice / no index arithmetic)
+    def make_take_static(loops):
+        @jax.jit
+        def run():
+            def body(i, c):
+                xg = (x + 0.0 * i).astype(jnp.bfloat16)
+                s = jnp.float32(0)
+                for g in range(groups):
+                    idx = jax.lax.slice(
+                        flat_j, (g * rows_per_group,),
+                        ((g + 1) * rows_per_group,))
+                    t = jnp.take(xg, idx, axis=0)
+                    s = s + t[0, 0].astype(jnp.float32)
+                return c + s
+            return jax.lax.fori_loop(0, loops, body, jnp.float32(0))
+        return run
+
+    sec = slope_time(fence, make_take_static, spans=(5, 30), reps=2)
+    report("sweepfloor", variant="take_static", ms=round(sec * 1e3, 3),
+           m_rows_per_s=round(m / sec / 1e6, 1))
 
 
 if __name__ == "__main__":

@@ -188,6 +188,41 @@ def _layout_rep(xi, s, step, rsum=_local_rsum, mask=None):
     return -_mask1(inv, mask) * diff
 
 
+# ---------------------------------------------------------------------------
+# Separable (coeff ⊗ vector) edge-force decomposition.
+#
+# Every edge force above is coeff(a)·vec where a is one scalar per (i, j)
+# pair (squared distance or dot product) and vec ∈ {xi−xj, xj−xi, xj}.
+# The MXU edge kernel (ops/pallas_force.py::ell_force_mxu) exploits this:
+# a comes from one batched matmul (dots block + norms-by-ones), coeff is a
+# tiny per-pair VPU chain, and the aggregation Σ_k coeff·vec_k is a second
+# matmul — no per-slot lane reduction at all.  Valid because the per-
+# component clamp never binds on any edge form (tdist: proved at
+# _tdist_edge; the others have no clamp in the reference).
+# ---------------------------------------------------------------------------
+
+
+def _tdist_coeff(a, invd, step):
+    return step * -2.0 / (1.0 + a)
+
+
+def _sigmoid_coeff(a, invd, step):
+    return step * invd * (1.0 - jax.nn.sigmoid(a))
+
+
+def _fr_coeff(a, invd, step):
+    return jnp.where(a > 0.0, a + 1.0 / jnp.where(a > 0.0, a, 1.0), 0.0)
+
+
+def _linlog_coeff(a, invd, step):
+    return jnp.log2(1.0 + jnp.sqrt(jnp.maximum(a, 0.0)))
+
+
+def _forceatlas_coeff(a, invd, step):
+    safe = jnp.where(a > 0.0, a, 1.0)
+    return jnp.where(a > 0.0, jnp.sqrt(safe) + 1.0 / safe, 0.0)
+
+
 @dataclasses.dataclass(frozen=True)
 class ForceModel:
     """Declarative description of one Force2Vec variant."""
@@ -203,6 +238,10 @@ class ForceModel:
     attraction: str = "csr"  # 'csr' | 'walk'
     repulsion: str = "sampled"  # 'sampled' | 'all'
     neg_range: str = "global"  # 'global': [0, n-1) | 'prefix': [0, min((b+1)B, n-1))
+    # separable decomposition (None → model can't run the MXU edge kernel)
+    a_kind: str = "dist2"  # 'dist2': a=||xi-xj||² | 'dot': a=xi·xj
+    edge_coeff: Callable = None  # (a, invd, step) -> per-pair scalar
+    edge_vec: str = "xi_minus_xj"  # 'xi_minus_xj' | 'xj_minus_xi' | 'xj'
 
 
 FORCE_MODELS = {
@@ -214,6 +253,9 @@ FORCE_MODELS = {
         update="add",
         lr_schedule="constant",
         default_lr=0.02,
+        a_kind="dist2",
+        edge_coeff=_tdist_coeff,
+        edge_vec="xi_minus_xj",
     ),
     "sigmoid": ForceModel(
         name="sigmoid",
@@ -224,6 +266,9 @@ FORCE_MODELS = {
         lr_schedule="constant",
         default_lr=0.02,
         uses_degree=True,
+        a_kind="dot",
+        edge_coeff=_sigmoid_coeff,
+        edge_vec="xj",
     ),
     "rwalk": ForceModel(
         name="rwalk",
@@ -236,6 +281,9 @@ FORCE_MODELS = {
         uses_degree=True,
         attraction="walk",
         neg_range="prefix",
+        a_kind="dot",
+        edge_coeff=_sigmoid_coeff,
+        edge_vec="xj",
     ),
     "fr": ForceModel(
         name="fr",
@@ -245,6 +293,9 @@ FORCE_MODELS = {
         update="energy",
         lr_schedule="decay999",
         default_lr=1.0,
+        a_kind="dist2",
+        edge_coeff=_fr_coeff,
+        edge_vec="xj_minus_xi",
     ),
     "linlog": ForceModel(
         name="linlog",
@@ -254,6 +305,9 @@ FORCE_MODELS = {
         update="energy",
         lr_schedule="decay999",
         default_lr=1.0,
+        a_kind="dist2",
+        edge_coeff=_linlog_coeff,
+        edge_vec="xj_minus_xi",
     ),
     "forceatlas": ForceModel(
         name="forceatlas",
@@ -263,6 +317,9 @@ FORCE_MODELS = {
         update="energy",
         lr_schedule="decay999",
         default_lr=1.0,
+        a_kind="dist2",
+        edge_coeff=_forceatlas_coeff,
+        edge_vec="xj_minus_xi",
     ),
     "tdist_exact": ForceModel(
         name="tdist_exact",

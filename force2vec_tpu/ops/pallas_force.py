@@ -127,6 +127,124 @@ def grouped_rep_force(model: ForceModel, group: int, xi, sg, step,
     )(xi, sg, step_arr)
 
 
+def _mxu_kernel(model: ForceModel, k: int, r: int,
+                xi_ref, xj_ref, deg_ref, invd_ref, bd_ref, smod_ref,
+                step_ref, out_ref):
+    """Separable edge sweep: dots + norms + aggregation on the MXU.
+
+    Exploits force = coeff(a) ⊗ vec (forces.py): per 8-row group the
+    [8, 8K] all-pairs dot block and the Σ coeff·xj aggregation are batched
+    matmuls, and for dist2 models the ||x̃j||² norms come from a
+    matmul-by-ones over the f32 squares — the per-slot LANE REDUCTION that
+    dominates the elementwise kernel's VPU time disappears entirely.
+
+    Exactness: with both sides evaluated at the bf16 gather replica x̃,
+    a = ‖x̃i‖² + ‖x̃j‖² − 2·x̃i·x̃j equals ‖x̃i − x̃j‖² up to f32 rounding
+    (bf16 products are exact in f32, MXU accumulates f32), so the dist2
+    path introduces no cancellation error beyond the replica rounding the
+    elementwise kernel already has."""
+    t = xi_ref.shape[0]
+    d = xi_ref.shape[1]
+    g = t // r
+    w = r * k
+    xi = xi_ref[:]                     # [T, D] f32
+    xj = xj_ref[:]                     # [T, K, D] (bf16 replica or f32)
+    step = step_ref[0, 0]
+    xif = xi
+    xir = xif.reshape(g, r, d)
+    xjr = xj.reshape(g, w, d)
+    xjf = xjr.astype(jnp.float32)
+    if model.a_kind == "dist2":
+        # f32 dots (xi stays f32 — the dist2 coefficients scale with a
+        # itself, so bf16-rounding xi would shift the force ~0.5% where the
+        # elementwise path would not); with f32 squares for ‖x̃j‖² the
+        # norm-form a equals ‖xi − x̃j‖² to f32 rounding.
+        dots = jax.lax.dot_general(
+            xir, xjf, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )  # [G, 8, W]
+        ones = jnp.ones((d, 1), dtype=jnp.float32)
+        nj = jax.lax.dot_general(
+            xjf * xjf, ones, (((2,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).reshape(g, 1, w)  # [G, 1, W] — Σ_d x̃j² exactly (f32 squares)
+        ni = jnp.sum(xif * xif, axis=-1).reshape(g, r, 1)  # tiny: T rows
+        a = ni + nj - 2.0 * dots
+    else:
+        # dot-product models: σ/centered coeffs tolerate the bf16 dots
+        # (native MXU rate); xi·x̃j at bf16(xi) matches the replica rounding
+        a = jax.lax.dot_general(
+            xir.astype(xjr.dtype), xjr, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+    invd = invd_ref[:].reshape(g, r, 1)
+    coeff = model.edge_coeff(a, invd, step)  # [G, 8, W]
+    # mask: slot s belongs to row s//K (static block-diagonal, passed in)
+    # AND is a real neighbor ((s mod K) < deg of that row)
+    degr = deg_ref[:].reshape(g, r, 1)
+    valid = (smod_ref[:][None] < degr).astype(coeff.dtype)  # [G, 8, W]
+    cm = coeff * (bd_ref[:][None] * valid)
+    # aggregation in f32 (cm is f32; 3-pass bf16 decomposition on the MXU
+    # is still trivial next to the gather) so coefficient rounding does not
+    # leak into the force sum
+    agg = jax.lax.dot_general(
+        cm, xjf, (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )  # [G, 8, D]
+    if model.edge_vec == "xj":
+        out = agg
+    else:
+        csum = jnp.sum(cm, axis=2, keepdims=True)  # [G, 8, 1]
+        if model.edge_vec == "xi_minus_xj":
+            out = xif.reshape(g, r, d) * csum - agg
+        else:  # 'xj_minus_xi'
+            out = agg - xif.reshape(g, r, d) * csum
+    out_ref[:] = out.reshape(t, d).astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("model", "interpret",
+                                              "group_rows"))
+def ell_force_mxu(model: ForceModel, xi, xj, deg, invd, step,
+                  interpret: bool = False, group_rows: int = 8):
+    """MXU-path masked edge-force sum over an ELL bucket (same contract as
+    :func:`ell_force` with kind='edge'); requires ``model.edge_coeff``.
+
+    ``group_rows`` (R) trades MXU matmul height against block-diagonal
+    waste: the dots/aggregation matmuls have M = R (array utilization
+    R/128) but compute R× the needed pairs.
+    """
+    c, k, d = xj.shape
+    r = group_rows
+    t = _tile_rows(k, d, xj.dtype.itemsize)
+    # whole R-row groups per tile
+    t = max(r, (t // r) * r)
+    grid = (pl.cdiv(c, t),)
+    step_arr = jnp.asarray(step, dtype=xi.dtype).reshape(1, 1)
+    import numpy as np
+
+    w = r * k
+    s_iota = np.arange(w, dtype=np.int64)
+    bd = (s_iota[None, :] // k == np.arange(r)[:, None]).astype(np.float32)
+    smod = (s_iota % k).astype(np.int32)[None, :].repeat(r, axis=0)
+    return pl.pallas_call(
+        functools.partial(_mxu_kernel, model, k, r),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((t, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((t, k, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((t, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((t, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((r, w), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((r, w), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((t, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((c, d), xi.dtype),
+        interpret=interpret,
+    )(xi, xj, deg[:, None], invd[:, None], jnp.asarray(bd),
+      jnp.asarray(smod), step_arr)
+
+
 @functools.partial(
     jax.jit, static_argnames=("model", "kind", "interpret")
 )

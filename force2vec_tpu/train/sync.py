@@ -227,8 +227,22 @@ class SyncForce2Vec:
             while the jnp chain fuses the expand away.
             """
             if use_pallas and pallas_ok:
-                from force2vec_tpu.ops.pallas_force import ell_force
+                import os as _os
 
+                from force2vec_tpu.ops.pallas_force import (
+                    ell_force,
+                    ell_force_mxu,
+                )
+
+                if (
+                    kind == "edge"
+                    and model.edge_coeff is not None
+                    and _os.environ.get("F2V_MXU_EDGE", "1") != "0"
+                ):
+                    # separable-form MXU sweep: dots/norms/aggregation ride
+                    # the MXU, killing the per-slot lane reduction that
+                    # bounds the elementwise kernel (PERF.md §7)
+                    return ell_force_mxu(model, xi, xj, dg, invd, step)
                 return ell_force(model, kind, xi, xj, dg, invd, step)
             if xj.dtype != xi.dtype:  # low-precision gather replica
                 xj = xj.astype(xi.dtype)

@@ -81,3 +81,42 @@ def test_rep_tile_rows():
     assert rep_tile_rows(512) == 256
     assert rep_tile_rows(8) == 8
     assert rep_tile_rows(7) == 0  # no multiple-of-8 divisor
+
+
+@pytest.mark.parametrize("name", ["tdist", "sigmoid", "fr", "linlog", "forceatlas"])
+@pytest.mark.parametrize("dtype", ["float32", "bfloat16"])
+def test_mxu_edge_kernel_matches_jnp(name, dtype):
+    """The separable MXU edge sweep (dots/norms/aggregation as matmuls)
+    equals the elementwise jnp path at the same input precision."""
+    from force2vec_tpu.ops.pallas_force import ell_force_mxu
+
+    model = get_model(name)
+    assert model.edge_coeff is not None
+    rng = np.random.default_rng(7)
+    xi = jnp.asarray(rng.standard_normal((C, D)), jnp.float32)
+    xj = jnp.asarray(rng.standard_normal((C, K, D)), jnp.float32).astype(dtype)
+    deg = jnp.asarray(rng.integers(0, K + 1, C), jnp.int32)
+    invd = jnp.asarray(1.0 / (rng.integers(1, 20, C)), jnp.float32)
+    step = 0.02
+
+    want = _jnp_reference(
+        model, "edge", xi, xj.astype(jnp.float32), deg, invd, step
+    )
+    got = ell_force_mxu(model, xi, xj, deg, invd, step, interpret=True)
+    # norm-form a vs diff-form a differ by f32 rounding; coefficients with
+    # a 1/a term (fr, forceatlas) amplify that near a→0
+    tol = 2e-4 if dtype == "float32" else 6e-3
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=tol, atol=tol)
+
+
+def test_mxu_edge_kernel_zero_deg_rows():
+    from force2vec_tpu.ops.pallas_force import ell_force_mxu
+
+    model = get_model("tdist")
+    rng = np.random.default_rng(2)
+    xi = jnp.asarray(rng.standard_normal((C, D)), jnp.float32)
+    xj = jnp.asarray(rng.standard_normal((C, K, D)), jnp.float32)
+    got = ell_force_mxu(model, xi, xj, jnp.zeros(C, jnp.int32),
+                        jnp.ones(C, jnp.float32), 0.02, interpret=True)
+    np.testing.assert_array_equal(np.asarray(got), 0.0)
