@@ -56,6 +56,14 @@ def main():
     ap.add_argument("--iters", type=int, default=300)
     ap.add_argument("--eval-size", type=int, default=100_000)
     ap.add_argument("--tag", default="", help="artifact suffix: BIGRUN_<tag>.json")
+    ap.add_argument("--no-pallas", action="store_true")
+    ap.add_argument("--span", type=int, default=50,
+                    help="iterations per device program (the remote-TPU "
+                    "worker kills single programs running longer than "
+                    "~2 min, so big-graph runs must span-chunk)")
+    ap.add_argument("--group-mb", type=int, default=32,
+                    help="take-group size (MB); the 8-32 MB bench optimum "
+                    "beats the byte-proportional auto cap at this scale")
     ap.add_argument("--mtx", default="/tmp/bigrun.mtx")
     args = ap.parse_args()
 
@@ -81,7 +89,9 @@ def main():
     cfg = TrainConfig(dim=128, model="tdist", ns=5, batch_size=256,
                       gather_dtype="bfloat16")
     t0 = time.perf_counter()
-    fv = SyncForce2Vec(graph, cfg, min_width=8, hub_width=128)
+    fv = SyncForce2Vec(graph, cfg, min_width=8, hub_width=128,
+                       use_pallas=False if args.no_pallas else None,
+                       take_group_bytes=args.group_mb * 1024 * 1024)
     layout_s = time.perf_counter() - t0
     print(f"layout build: {layout_s:.2f}s padded_edges={fv.layout.padded_edges}",
           flush=True)
@@ -94,15 +104,21 @@ def main():
 
     x = fv.init_embedding(seed=1)
     key = jax.random.PRNGKey(1)
-    # warmup with the SAME span length as the timed run: the train entry
+    span = min(args.span, args.iters)
+    # warmup with the SAME span length as the timed spans: the train entry
     # compiles one program per iteration count, and a shorter warmup span
     # would leave the real compile inside the timed region.
-    x = fv._train_jit(fv._garr, x, key, args.iters, 0)
+    x = fv._train_jit(fv._garr, x, key, span, 0)
     fetch1(x)
     t0 = time.perf_counter()
-    x = fv._train_jit(fv._garr, x, key, args.iters, args.iters)
+    done = span
+    while done < args.iters:
+        k = min(span, args.iters - done)
+        x = fv._train_jit(fv._garr, x, key, k, done)
+        done += k
     fetch1(x)
     train_s = time.perf_counter() - t0
+    train_s *= args.iters / max(args.iters - span, 1)  # scale for warmup span
     ups = (graph.nnz + graph.n * cfg.ns) * args.iters / train_s
     print(f"train: {args.iters} iters in {train_s:.1f}s = {ups/1e6:.1f} M updates/s",
           flush=True)

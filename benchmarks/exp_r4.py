@@ -215,10 +215,17 @@ def exp_iterv():
     graph = synth_powerlaw_graph()
     cfg = TrainConfig(dim=128, model="tdist", ns=5, batch_size=256,
                       gather_dtype="bfloat16")
-    for tb in (512 * 1024, 1024 * 1024, 2 * 1024 * 1024, 4 * 1024 * 1024):
+    import itertools
+    tile_list = [int(v) for v in os.environ.get(
+        "ITERV_TILES", "524288,1048576,2097152,4194304").split(",")]
+    group_list = [int(v) if v else None for v in os.environ.get(
+        "ITERV_GROUPS", "").split(",")] or [None]
+    scheme = os.environ.get("ITERV_SCHEME", "mult8")
+    for tb, gb in itertools.product(tile_list, group_list):
         pf._TILE_BYTES = tb
         try:
-            fv = SyncForce2Vec(graph, cfg, min_width=8, hub_width=128)
+            fv = SyncForce2Vec(graph, cfg, min_width=8, hub_width=128,
+                               width_scheme=scheme, take_group_bytes=gb)
             x = fv.init_embedding(seed=1)
             key = jax.random.PRNGKey(1)
 
@@ -229,10 +236,11 @@ def exp_iterv():
 
             sec = slope_time(fence, make, spans=(10, 60), reps=2)
             ups = graph.nnz + graph.n * cfg.ns
-            report("iterv", tile_bytes=tb, ms_per_iter=round(sec * 1e3, 3),
+            report("iterv", tile_bytes=tb, group_bytes=gb, scheme=scheme,
+                   ms_per_iter=round(sec * 1e3, 3),
                    m_updates_per_s=round(ups / sec / 1e6, 1))
         except Exception as e:
-            report("iterv", tile_bytes=tb,
+            report("iterv", tile_bytes=tb, group_bytes=gb,
                    error=f"{type(e).__name__}: {str(e)[:200]}")
     pf._TILE_BYTES = 512 * 1024
 
