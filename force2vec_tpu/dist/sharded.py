@@ -134,7 +134,8 @@ class ShardedSyncForce2Vec:
     shards over ``tp`` exactly as in the batch runner.
     """
 
-    def __init__(self, graph, config, mesh: Mesh, min_width=8, hub_width=256):
+    def __init__(self, graph, config, mesh: Mesh, min_width=8, hub_width=256,
+                 use_pallas=None):
         from force2vec_tpu.train.sync import SyncForce2Vec
 
         n_dp = mesh.shape["dp"]
@@ -145,7 +146,8 @@ class ShardedSyncForce2Vec:
         while align % n_dp:
             align *= 2
         self.fv = SyncForce2Vec(
-            graph, config, min_width=min_width, hub_width=hub_width, row_align=align
+            graph, config, min_width=min_width, hub_width=hub_width,
+            row_align=align, use_pallas=use_pallas
         )
         self.mesh = mesh
         self.spmd = SpmdAxes(dp="dp", tp="tp", n_dp=n_dp, n_tp=n_tp)
