@@ -632,107 +632,6 @@ def exp_takemix():
            hot_m_rows_per_s=round(m_hot / t_hot / 1e6, 1))
 
 
-def exp_takesize():
-    """Bulk-take rate vs embedding-table size (is the 450 M rows/s engine
-    rate flat in table bytes, or does it degrade at big-graph scale?)."""
-    import jax
-    import jax.numpy as jnp
-
-    fence = _fence_fn(jax, jnp)
-    m = 2_000_000
-    import os as _o
-    sizes = [int(v) for v in _o.environ.get(
-        "TAKESIZE_NS", "131072,524288,1500000,3000000").split(",")]
-    for n in sizes:
-        idx = jax.random.randint(jax.random.PRNGKey(3), (m,), 0, n, jnp.int32)
-        tbl = jnp.zeros((n, 128), dtype=jnp.bfloat16)
-
-        def make(loops, tbl=tbl, idx=idx, n=n):
-            @jax.jit
-            def run():
-                def body(i, c):
-                    g = jnp.take(tbl, (idx + i) % n, axis=0)
-                    return c + g[0, 0].astype(jnp.float32)
-                return jax.lax.fori_loop(0, loops, body, jnp.float32(0))
-            return run
-
-        sec = slope_time(fence, make, spans=(4, 16), reps=2)
-        report("takesize", n=n, table_mb=round(n * 256 / 1e6, 1),
-               m_rows_per_s=round(m / sec / 1e6, 1))
-
-
-def exp_takehot():
-    """Is the fast-gather regime working-set-based?  Take from a 1.5M-row
-    table with indices RESTRICTED to a suffix window of R rows — if the
-    rate matches the small-table rate, the engine reads through a cache
-    keyed by touched bytes, and a hot/cold slot split recovers the fast
-    rate for the hot share at big-graph scale."""
-    import jax
-    import jax.numpy as jnp
-
-    fence = _fence_fn(jax, jnp)
-    m = 2_000_000
-    n = 1_500_000
-    tbl = jnp.zeros((n, 128), dtype=jnp.bfloat16)
-    for r in (131072, 262144, 393216, 524288, 786432, n):
-        idx = jax.random.randint(
-            jax.random.PRNGKey(3), (m,), n - r, n, jnp.int32)
-
-        def make(loops, idx=idx):
-            @jax.jit
-            def run():
-                def body(i, c):
-                    g = jnp.take(tbl, n - 1 - ((idx + i) % r), axis=0)
-                    return c + g[0, 0].astype(jnp.float32)
-                return jax.lax.fori_loop(0, loops, body, jnp.float32(0))
-            return run
-
-        sec = slope_time(fence, make, spans=(4, 16), reps=2)
-        report("takehot", window_rows=r, window_mb=round(r * 256 / 1e6, 1),
-               m_rows_per_s=round(m / sec / 1e6, 1))
-
-
-def exp_takemix():
-    """Mixed hot/cold gather streams on a big table: does interleaving
-    cold misses with hot-window hits keep the hot hits fast (harmonic
-    model), or do cold fills evict the hot set?  Also: separated streams
-    (one all-cold take then one all-hot take) as the schedule would issue
-    them."""
-    import jax
-    import jax.numpy as jnp
-
-    fence = _fence_fn(jax, jnp)
-    m = 2_000_000
-    n = 1_500_000
-    r = 393216  # ~100 MB hot window
-    tbl = jnp.zeros((n, 128), dtype=jnp.bfloat16)
-    key = jax.random.PRNGKey(5)
-    hot = jax.random.randint(key, (m,), n - r, n, jnp.int32)
-    cold = jax.random.randint(jax.random.fold_in(key, 1), (m,), 0, n,
-                              jnp.int32)
-    is_hot = jax.random.uniform(jax.random.fold_in(key, 2), (m,)) < 0.4
-    mixed = jnp.where(is_hot, hot, cold)
-
-    def rate(idx_list):
-        def make(loops):
-            @jax.jit
-            def run():
-                def body(i, c):
-                    s = jnp.float32(0)
-                    for idx in idx_list:
-                        g = jnp.take(tbl, (idx + i) % n, axis=0)
-                        s = s + g[0, 0].astype(jnp.float32)
-                    return c + s
-                return jax.lax.fori_loop(0, loops, body, jnp.float32(0))
-            return run
-        sec = slope_time(fence, make, spans=(4, 16), reps=2)
-        return sum(x.shape[0] for x in idx_list) / sec / 1e6
-
-    report("takemix", stream="mixed40", m_rows_per_s=round(rate([mixed]), 1))
-    report("takemix", stream="cold_then_hot",
-           m_rows_per_s=round(rate([cold, hot]), 1))
-
-
 if __name__ == "__main__":
     exps = sys.argv[1:] or ["uniq"]
     for e in exps:

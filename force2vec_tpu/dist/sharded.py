@@ -147,7 +147,8 @@ class ShardedSyncForce2Vec:
             align *= 2
         self.fv = SyncForce2Vec(
             graph, config, min_width=min_width, hub_width=hub_width,
-            row_align=align, use_pallas=use_pallas
+            row_align=align, use_pallas=use_pallas,
+            hot_rows=0,  # hot/cold split is single-shard (dp slices rows)
         )
         self.mesh = mesh
         self.spmd = SpmdAxes(dp="dp", tp="tp", n_dp=n_dp, n_tp=n_tp)

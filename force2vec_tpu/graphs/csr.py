@@ -135,12 +135,37 @@ def _round_up(x: int, m: int) -> int:
 
 
 @dataclasses.dataclass
+class HotSpan:
+    """A contiguous row run of one bucket stored as TWO tight rectangles:
+    cold slots ([count, cold_width] inside the bucket's flat ``nbr``,
+    relabeled ids) and hot slots ([count, hot_width] inside ``hot_flat``,
+    ids LOCAL to the hot suffix, i.e. relabeled id − hot_start).  Runs are
+    grouped by hot-width class (rows sorted by hot count within the
+    bucket), so both rectangles pad by < 8 slots/row plus the bucket's
+    narrow degree band."""
+
+    row_off: int  # first row of the run, relative to the bucket
+    count: int  # REAL rows; rectangles are stored with ceil8(count) rows
+    cold_width: int  # cold ELL width (ceil-8 of the run's cold counts; 0 ⇒ none)
+    cold_off: int  # element offset into EllBucket.nbr (flat when split)
+    width: int  # hot ELL width (ceil-8 of the run's hot counts; 0 ⇒ none)
+    flat_off: int  # element offset into EllBucket.hot_flat
+    deg_off: int = 0  # row offset into the bucket's span-padded deg arrays
+
+
+@dataclasses.dataclass
 class EllBucket:
     """One degree bucket of the sync layout: ``count`` rows of ELL width
     ``width`` starting at row ``start`` of the degree-sorted table.  For the
     hub bucket (``owners is not None``) the rows are *virtual* — partial
     rows of width ``width`` owned by real rows ``owners`` — and their
-    partial force sums are segment-reduced into the owner rows."""
+    partial force sums are segment-reduced into the owner rows.
+
+    With a hot/cold split (SyncLayout.build(hot_rows=...)): ``nbr``/``deg``
+    hold only the COLD slots; the hot slots live in ``hot_flat`` as
+    per-run rectangles (``hot_spans``), with per-row hot counts in
+    ``hot_deg``.  Force contributions are the sum of both parts — the
+    split is exact (a neighbor multiset partition)."""
 
     width: int
     start: int  # first (relabeled) real row, or 0 for the hub bucket
@@ -148,6 +173,9 @@ class EllBucket:
     nbr: np.ndarray  # [count, width] int32 relabeled neighbor ids (0-padded)
     deg: np.ndarray  # [count] int32 valid neighbors per row
     owners: Optional[np.ndarray] = None  # [count] int32 relabeled owner rows
+    hot_flat: Optional[np.ndarray] = None  # 1-D int32 hot-LOCAL ids
+    hot_deg: Optional[np.ndarray] = None  # [count] int32 hot slots per row
+    hot_spans: Optional[list] = None  # list[HotSpan]
 
 
 @dataclasses.dataclass
@@ -175,6 +203,13 @@ class SyncLayout:
     deg: np.ndarray  # [n_pad] int32 degree per relabeled row (0 for padding)
     buckets: list  # list[EllBucket]
     padded_edges: int  # Σ count·width — the gather volume per iteration
+    # hot/cold split: relabeled row where the hot suffix begins, or None.
+    # Rationale (PERF.md §7.6): the v5e gather engine serves tables
+    # ≤ ~100 MB at ~586 M rows/s but large tables at only ~165 M rows/s;
+    # gathering the high-degree suffix (which power-law graphs hit for
+    # 40%+ of slots) from a COMPACT copy recovers the fast rate at
+    # big-graph scale.
+    hot_start: Optional[int] = None
 
     @staticmethod
     def widths_for(min_width: int, hub_width: int, scheme: str = "pow2"):
@@ -208,6 +243,7 @@ class SyncLayout:
         hub_width: int = 256,
         row_align: int = 8,
         widths: Optional[list] = None,
+        hot_rows: int = 0,
     ) -> "SyncLayout":
         n = graph.n
         deg_orig = graph.degrees.astype(np.int64)
@@ -237,14 +273,121 @@ class SyncLayout:
             widths = sorted(set(int(w) for w in widths))
             assert widths[-1] == hub_width, "width ladder must end at hub_width"
 
-        buckets = []
-        padded_edges = 0
+        # bucket boundaries from the (globally sorted) degree order — fixed
+        # BEFORE any within-bucket reorder
+        bounds = []
         i = 0
-        # non-hub buckets: contiguous runs of the degree-sorted order
         for w in widths:
             j = int(np.searchsorted(deg_sorted, w, side="right"))
-            if j <= i:
-                continue
+            if j > i:
+                bounds.append((w, i, j))
+                i = j
+        hub_start_row = i
+
+        # hot/cold split: the hot MEMBER SET is the top ``hot_rows`` rows of
+        # the initial degree order; within-bucket reorders sort hot members
+        # to their bucket's tail, so the set stays the exact contiguous
+        # suffix [n - hot_rows, n) of the FINAL relabeling (only the one
+        # bucket containing the threshold has mixed membership)
+        hot_start = None
+        if hot_rows > 0 and 0 < n - hot_rows:
+            hot_start = n - hot_rows
+
+        if hot_start is not None:
+            # hot membership per ORIGINAL id (invariant under reorder)
+            hot_member = np.zeros(n, dtype=bool)
+            hot_member[perm[hot_start:]] = True
+            hot_edge = hot_member[graph.colids].astype(np.int64)
+            cs = np.concatenate([[0], np.cumsum(hot_edge)])
+            hot_cnt_orig = cs[graph.rowptr[1:]] - cs[graph.rowptr[:-1]]
+            for _, bi_, bj_ in bounds:
+                h = hot_cnt_orig[perm[bi_:bj_]]
+                c = deg_orig[perm[bi_:bj_]] - h
+                # three-level key: hot membership (keeps the suffix exact),
+                # then hot-width class, then cold-width class — runs of
+                # equal (⌈hot/8⌉, ⌈cold/8⌉) get BOTH rectangles tight to
+                # < 8 pad slots/row
+                order = np.lexsort(
+                    ((c + 7) // 8, (h + 7) // 8, hot_member[perm[bi_:bj_]]))
+                perm[bi_:bj_] = perm[bi_:bj_][order]
+            inv_perm[perm] = np.arange(n, dtype=np.int32)
+            deg_sorted = deg_orig[perm]
+
+        def split_hot(nbr, dg, w):
+            """Partition a filled ELL rectangle into per-run cold + hot
+            rectangles (runs grouped by hot-width class; BOTH rectangles
+            tight, so no full-width cold padding survives — that padding
+            would be fetched from the slow big table and erase the win)."""
+            hotm = (nbr >= hot_start) & (
+                np.arange(w)[None, :] < dg[:, None])
+            hot_ct = hotm.sum(1).astype(np.int32)
+            order = np.argsort(hotm, axis=1, kind="stable")
+            packed = np.take_along_axis(nbr, order, axis=1)
+            dg_cold = (dg - hot_ct).astype(np.int32)
+            wh_row = ((hot_ct + 7) // 8) * 8
+            wc_row = ((dg_cold + 7) // 8) * 8
+            spans, hrects, crects, cdegs, hdegs = [], [], [], [], []
+            hot_off = cold_off = deg_off = 0
+            r = 0
+            cnt_rows = len(dg)
+            while r < cnt_rows:
+                e = r
+                while (e < cnt_rows and wh_row[e] == wh_row[r]
+                       and wc_row[e] == wc_row[r]):
+                    e += 1
+                wh = int(wh_row[r])
+                cnt = e - r
+                # rectangles/deg rows padded to whole 8-row tiles so every
+                # Pallas tile sees in-bounds data (pad rows: deg 0, ids 0)
+                r8 = _round_up(cnt, 8)
+                rows_ = np.arange(r, e)
+                wc = int(((int(dg_cold[rows_].max()) + 7) // 8) * 8)
+                cd = np.zeros(r8, dtype=np.int32)
+                cd[:cnt] = dg_cold[rows_]
+                hd = np.zeros(r8, dtype=np.int32)
+                hd[:cnt] = hot_ct[rows_]
+                cdegs.append(cd)
+                hdegs.append(hd)
+                if wc > 0:
+                    kc = np.arange(wc)[None, :]
+                    crect = np.zeros((r8, wc), dtype=np.int32)
+                    crect[:cnt] = np.where(
+                        kc < dg_cold[rows_][:, None],
+                        np.take_along_axis(
+                            packed[rows_], np.clip(kc, 0, w - 1), axis=1),
+                        0)
+                    crects.append(crect.reshape(-1))
+                if wh > 0:
+                    k = np.arange(wh)[None, :]
+                    src = (w - hot_ct[rows_])[:, None] + k
+                    rect = np.take_along_axis(
+                        packed[rows_], np.clip(src, 0, w - 1), axis=1)
+                    hrect = np.zeros((r8, wh), dtype=np.int32)
+                    hrect[:cnt] = np.where(
+                        k < hot_ct[rows_][:, None], rect - hot_start, 0)
+                    hrects.append(hrect.reshape(-1))
+                spans.append(HotSpan(row_off=r, count=cnt,
+                                     cold_width=wc, cold_off=cold_off,
+                                     width=wh, flat_off=hot_off,
+                                     deg_off=deg_off))
+                cold_off += r8 * wc
+                hot_off += r8 * wh
+                deg_off += r8
+                r = e
+            cold_flat = (np.concatenate(crects) if crects
+                         else np.zeros(0, dtype=np.int32))
+            hot_flat = (np.concatenate(hrects) if hrects
+                        else np.zeros(0, dtype=np.int32))
+            cdeg = (np.concatenate(cdegs) if cdegs
+                    else np.zeros(0, dtype=np.int32))
+            hdeg = (np.concatenate(hdegs) if hdegs
+                    else np.zeros(0, dtype=np.int32))
+            return cold_flat, cdeg, hdeg, hot_flat, spans
+
+        buckets = []
+        padded_edges = 0
+        # non-hub buckets: contiguous runs of the degree-sorted order
+        for w, i, j in bounds:
             count = _round_up(j - i, row_align)
             rows = np.arange(i, j)
             nbr_j, dg_j = fill_ell(rows, w)
@@ -252,9 +395,19 @@ class SyncLayout:
             dg = np.zeros(count, dtype=np.int32)
             nbr[: j - i] = nbr_j
             dg[: j - i] = dg_j
-            buckets.append(EllBucket(width=w, start=i, count=count, nbr=nbr, deg=dg))
-            padded_edges += count * w
-            i = j
+            if hot_start is not None:
+                cflat, cdeg, hdeg, hflat, hspans = split_hot(nbr, dg, w)
+                buckets.append(EllBucket(
+                    width=w, start=i, count=count, nbr=cflat, deg=cdeg,
+                    hot_flat=hflat, hot_deg=hdeg, hot_spans=hspans))
+                padded_edges += sum(
+                    _round_up(sp.count, 8) * (sp.width + sp.cold_width)
+                    for sp in hspans)
+            else:
+                buckets.append(EllBucket(
+                    width=w, start=i, count=count, nbr=nbr, deg=dg))
+                padded_edges += count * w
+        i = hub_start_row
 
         # hub bucket: rows with deg > hub_width, split into virtual rows
         if i < n:
@@ -290,6 +443,9 @@ class SyncLayout:
         # tail bucket onto its neighbor's rows.
         max_extent = max(
             [n] + [b.start + b.count for b in buckets if b.owners is None]
+            + [b.start + sp.row_off + _round_up(sp.count, 8)
+               for b in buckets if b.hot_spans
+               for sp in b.hot_spans]
         )
         n_pad = _round_up(max_extent, row_align)
         deg_pad = np.zeros(n_pad, dtype=np.int32)
@@ -302,6 +458,7 @@ class SyncLayout:
             deg=deg_pad,
             buckets=buckets,
             padded_edges=padded_edges,
+            hot_start=hot_start,
         )
 
 

@@ -57,6 +57,7 @@ class SyncForce2Vec:
         tile_budget_bytes: int = 1024 * 1024 * 1024,
         width_scheme: str = "mult8",
         take_group_bytes: Optional[int] = None,
+        hot_rows: Optional[int] = None,
     ):
         self.graph = graph
         self.config = config
@@ -77,6 +78,27 @@ class SyncForce2Vec:
             use_pallas = False  # 1-D table gather has no Mosaic lowering
         self.use_pallas = bool(use_pallas)
         self.tile_budget_bytes = int(tile_budget_bytes)
+        # Hot/cold gather split (PERF.md §7.6): the v5e gather engine
+        # serves tables ≤ ~100 MB at ~586 M rows/s and larger tables at
+        # only ~165 M rows/s; when the gather table exceeds the fast tier,
+        # the high-degree suffix (40%+ of power-law slots) is fetched from
+        # a compact ≤~tier-sized copy instead.  Auto (None): on exactly
+        # when the table outgrows the tier; walk models keep the plain
+        # layout (their attraction doesn't use bucket gathers, and the
+        # walk engine samples from the ELL tables directly).
+        import os as _os
+
+        gdt_bytes = jnp.dtype(
+            config.gather_dtype or config.dtype).itemsize
+        tier_bytes = int(_os.environ.get("F2V_HOT_TIER_MB", "96")) * 2**20
+        if hot_rows is None:
+            table_bytes = graph.n * config.dim * gdt_bytes
+            hot_rows = (
+                0 if (self.model.attraction == "walk"
+                      or table_bytes <= tier_bytes)
+                else tier_bytes // (config.dim * gdt_bytes)
+            )
+        self.hot_rows = int(hot_rows)
         # mult8 width ladder: widths stay multiples of the 8-row sublane
         # tile, so the [C, K, D] force sweep wastes zero sublane compute
         # (Mosaic pads K up to 8); measured on v5e this beats mult4's
@@ -87,6 +109,7 @@ class SyncForce2Vec:
             graph, min_width=min_width, hub_width=hub_width,
             row_align=row_align,
             widths=SyncLayout.widths_for(min_width, hub_width, width_scheme),
+            hot_rows=self.hot_rows,
         )
         # Auto take-group size: throughput is flat for 8-32 MB groups at
         # the headline bench size (benchmarks/profile_takegroups.py), but a
@@ -115,6 +138,9 @@ class SyncForce2Vec:
         for bi, b in enumerate(lay.buckets):
             garr[f"nbr{bi}"] = jnp.asarray(b.nbr)
             garr[f"deg{bi}"] = jnp.asarray(b.deg)
+            if b.hot_spans is not None:
+                garr[f"hotf{bi}"] = jnp.asarray(b.hot_flat)
+                garr[f"hotdeg{bi}"] = jnp.asarray(b.hot_deg)
             if b.owners is not None:
                 ol = b.owners - b.start
                 garr[f"own{bi}"] = jnp.asarray(ol)
@@ -136,13 +162,22 @@ class SyncForce2Vec:
         # (~25%) at the headline bench size — as captured constants XLA owns
         # their layout and hoists the index-table preprocessing out of the
         # loop, which it cannot do for caller-supplied parameters
-        # (benchmarks/exp_r3.py trainwrap).  The runner-protocol ``g``
-        # argument is accepted and ignored.
-        self._train_jit = make_train_dispatcher(
-            lambda k: (
-                lambda jf: (lambda g, x, key, off: jf(x, key, off))
-            )(jax.jit(lambda x, key, off: train(self._garr, x, key, k, off)))
-        )
+        # (benchmarks/exp_r3.py trainwrap).  Big graphs cannot close over:
+        # captured constants ride the (remote) compile request, and past
+        # ~150 MB the compile service rejects it (HTTP 413) — there the
+        # runner passes garr as real arguments (the closure's ~2.9 ms win
+        # is noise at big-graph per-iteration times anyway).
+        garr_bytes = sum(int(v.size) * v.dtype.itemsize for v in garr.values())
+        if garr_bytes <= 128 * 2**20:
+            self._train_jit = make_train_dispatcher(
+                lambda k: (
+                    lambda jf: (lambda g, x, key, off: jf(x, key, off))
+                )(jax.jit(lambda x, key, off: train(self._garr, x, key, k, off)))
+            )
+        else:
+            self._train_jit = make_train_dispatcher(
+                lambda k: jax.jit(lambda g, x, key, off: train(g, x, key, k, off))
+            )
 
     # -- embedding layout ---------------------------------------------------
 
@@ -284,45 +319,100 @@ class SyncForce2Vec:
         # VPU force sweep of the previous group.
         group_cap = min(self.take_group_bytes, tile_budget_bytes)
 
-        def build_take_groups():
-            # pieces are chunked at min(group_cap, tile_budget): merging
-            # alone would let one big bucket's tile exceed the take-group
-            # granularity the auto-sizer targets (ADVICE r3)
-            groups, cur, cur_bytes = [], [], 0
+        # Piece list for the attraction sweep, packed greedily into TAKE
+        # GROUPS of at most ``take_group_bytes`` of materialized tile per
+        # source table.  One bulk ``take`` serves a whole group: measured
+        # on v5e, 15 per-bucket takes of the same rows cost 6.8 ms where
+        # one flat take costs 3.9 ms — per-take scheduling overhead
+        # (PERF.md §3).  With a hot/cold split layout (PERF.md §7.6) the
+        # pieces come in two streams: cold/rect pieces gather from the full
+        # table, hot pieces from the compact hot-suffix copy that the
+        # gather engine serves ~3.6x faster at big-graph scale.
+        hot_start = lay.hot_start
+        if hot_start is not None and n_dp > 1:
+            raise NotImplementedError(
+                "hot/cold split layout is single-shard (build the layout "
+                "with hot_rows=0 under dp)"
+            )
+
+        def build_pieces():
+            cold, hot = [], []
             for bi, width, start, count, real, is_hub in bucket_meta:
-                local = count // n_dp
-                for c_off, c_rows in chunk_spans(local, width, group_cap):
-                    piece_bytes = c_rows * width * dim * gsize
-                    if cur and cur_bytes + piece_bytes > group_cap:
-                        groups.append(cur)
-                        cur, cur_bytes = [], 0
-                    cur.append((bi, width, start, count, real, is_hub,
-                                c_off, c_rows))
-                    cur_bytes += piece_bytes
+                b = lay.buckets[bi]
+                if b.hot_spans is None:
+                    local = count // n_dp
+                    for c_off, c_rows in chunk_spans(local, width, group_cap):
+                        cold.append(("rect", bi, width, start, count, real,
+                                     is_hub, c_off, c_rows))
+                    continue
+                for si, sp in enumerate(b.hot_spans):
+                    r8 = -(-sp.count // 8) * 8  # stored rect rows
+                    if sp.cold_width > 0:
+                        for c_off, c_rows in chunk_spans(
+                                r8, sp.cold_width, group_cap):
+                            real = min(sp.count - c_off, c_rows)
+                            cold.append((
+                                "flat", bi, sp.cold_width, start,
+                                sp.row_off + c_off, c_rows,
+                                sp.cold_off + c_off * sp.cold_width,
+                                sp.deg_off + c_off, real, "cold"))
+                    if sp.width > 0:
+                        for c_off, c_rows in chunk_spans(
+                                r8, sp.width, group_cap):
+                            real = min(sp.count - c_off, c_rows)
+                            hot.append((
+                                "flat", bi, sp.width, start,
+                                sp.row_off + c_off, c_rows,
+                                sp.flat_off + c_off * sp.width,
+                                sp.deg_off + c_off, real, "hot"))
+            return cold, hot
+
+        def pack(pieces):
+            groups, cur, cur_bytes = [], [], 0
+            for pc in pieces:
+                width, c_rows = pc[2], (pc[8] if pc[0] == "rect" else pc[5])
+                piece_bytes = c_rows * width * dim * gsize
+                if cur and cur_bytes + piece_bytes > group_cap:
+                    groups.append(cur)
+                    cur, cur_bytes = [], 0
+                cur.append(pc)
+                cur_bytes += piece_bytes
             if cur:
                 groups.append(cur)
             return groups
 
-        take_groups = build_take_groups()
+        cold_pieces, hot_pieces = build_pieces()
+        take_groups = pack(cold_pieces)
+        hot_take_groups = pack(hot_pieces)
 
-        def attraction(g, x, xg, step):
-            """Σ_buckets masked ELL force — returns the [n_pad, dim] update."""
-            by_bucket = {}
-            for grp in take_groups:
-                # one flat bulk take for the whole group
-                idxs, metas = [], []
-                for bi, width, start, count, real, is_hub, c_off, c_rows in grp:
+        def run_group(g, x, src_tbl, grp, by_bucket, hot_adds, step):
+            """One flat bulk take for a whole group + per-piece force sums."""
+            idxs, metas = [], []
+            for pc in grp:
+                if pc[0] == "rect":
+                    _, bi, width, start, count, real, is_hub, c_off, c_rows = pc
                     _, off = shard_rows(count)
                     r0 = off() + jnp.int32(c_off)
                     nbr = jax.lax.dynamic_slice(
                         g[f"nbr{bi}"], (r0, 0), (c_rows, width)
                     )
                     idxs.append(nbr.reshape(-1))
-                    metas.append((bi, width, start, is_hub, c_off, c_rows, r0))
-                flat_idx = idxs[0] if len(idxs) == 1 else jnp.concatenate(idxs)
-                flat = jnp.take(xg, flat_idx, axis=0)  # [Σ rows·width, dim]
-                fo = 0
-                for bi, width, start, is_hub, c_off, c_rows, r0 in metas:
+                    metas.append(("rect", bi, width, start, is_hub,
+                                  c_off, c_rows, r0))
+                else:
+                    (_, bi, width, start, row_off, c_rows, f_off,
+                     deg_pos, real, src) = pc
+                    key = f"hotf{bi}" if src == "hot" else f"nbr{bi}"
+                    idxs.append(jax.lax.slice(
+                        g[key], (f_off,), (f_off + c_rows * width,)))
+                    metas.append(("flat", bi, width, start, row_off,
+                                  c_rows, deg_pos, real, src))
+            flat_idx = idxs[0] if len(idxs) == 1 else jnp.concatenate(idxs)
+            flat = jnp.take(src_tbl, flat_idx, axis=0)  # [Σ rows·width, dim]
+            fo = 0
+            for m in metas:
+                if m[0] == "rect":
+                    _, bi, width, start, is_hub, c_off, c_rows, r0 = m
                     xj = jax.lax.slice(
                         flat, (fo, 0), (fo + c_rows * width, dim)
                     ).reshape(c_rows, width, dim)
@@ -344,11 +434,58 @@ class SyncForce2Vec:
                     by_bucket.setdefault(bi, []).append(
                         force_sum("edge", xi, xj, dg, invd, step)
                     )
+                else:
+                    (_, bi, width, start, row_off, c_rows, deg_pos,
+                     real, src) = m
+                    xj = jax.lax.slice(
+                        flat, (fo, 0), (fo + c_rows * width, dim)
+                    ).reshape(c_rows, width, dim)
+                    fo += c_rows * width
+                    dkey = f"hotdeg{bi}" if src == "hot" else f"deg{bi}"
+                    dg = jax.lax.slice(g[dkey], (deg_pos,), (deg_pos + c_rows,))
+                    xi = jax.lax.slice(
+                        x, (start + row_off, 0),
+                        (start + row_off + c_rows, dim))
+                    invd = jax.lax.slice(
+                        g["inv_deg"], (start + row_off,),
+                        (start + row_off + c_rows,))
+                    res = force_sum("edge", xi, xj, dg, invd, step)[:real]
+                    if src == "hot":
+                        hot_adds.setdefault(bi, []).append((row_off, res))
+                    else:
+                        by_bucket.setdefault(bi, []).append((row_off, res))
+
+        def attraction(g, x, xg, step):
+            """Σ_buckets masked ELL force — returns the [n_pad, dim] update."""
+            by_bucket, hot_adds = {}, {}
+            for grp in take_groups:
+                run_group(g, x, xg, grp, by_bucket, hot_adds, step)
+            if hot_take_groups:
+                xg_hot = jax.lax.slice(xg, (hot_start, 0), (n_pad, dim))
+                for grp in hot_take_groups:
+                    run_group(g, x, xg_hot, grp, by_bucket, hot_adds, step)
             parts = []
             for bi, width, start, count, real, is_hub in bucket_meta:
-                chunks = by_bucket[bi]
-                part = chunks[0] if len(chunks) == 1 else jnp.concatenate(chunks)
-                part = gathered(part)  # [count, dim] on every rank
+                b = lay.buckets[bi]
+                chunks = by_bucket.get(bi, [])
+                if b.hot_spans is None:
+                    part = chunks[0] if len(chunks) == 1 else jnp.concatenate(chunks)
+                    part = gathered(part)  # [count, dim] on every rank
+                else:
+                    # cold chunks carry (row_off, res); spans with no cold
+                    # slots contribute zeros
+                    by_off = {ro: r for ro, r in chunks}
+                    seq, cursor = [], 0
+                    for ro in sorted(by_off):
+                        if ro > cursor:
+                            seq.append(jnp.zeros((ro - cursor, dim), x.dtype))
+                        seq.append(by_off[ro])
+                        cursor = ro + by_off[ro].shape[0]
+                    if cursor < count:
+                        seq.append(jnp.zeros((count - cursor, dim), x.dtype))
+                    part = seq[0] if len(seq) == 1 else jnp.concatenate(seq)
+                    for ro, res in hot_adds.get(bi, []):
+                        part = part.at[ro:ro + res.shape[0]].add(res)
                 if is_hub:
                     part = jax.ops.segment_sum(part, g[f"own{bi}"], num_segments=real)
                 else:

@@ -170,3 +170,52 @@ def test_sync_quality_karate():
     a, b = rng.integers(0, g.n, 2000), rng.integers(0, g.n, 2000)
     d_rand = np.linalg.norm(emb[a] - emb[b], axis=1).mean()
     assert d_rand - d_edge > 0.5
+
+
+def test_sync_hot_cold_split_matches_plain():
+    """The hot/cold gather split (compact hot-suffix table + per-run tight
+    rectangles, PERF.md §7.6) is an exact neighbor-multiset partition: one
+    iteration equals the unsplit layout, on both the jnp and
+    (interpret-mode) Pallas paths.  Relabelings differ (the split refines
+    within-bucket row order), so identical per-vertex negatives are
+    injected in ORIGINAL id space and mapped through each runner's perm."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from force2vec_tpu.graphs.csr import Graph
+
+    rng = np.random.default_rng(21)
+    n, extra = 1500, 900
+    src = np.arange(n); dst = (src + 1) % n
+    es = rng.integers(0, n, size=extra); ed = rng.integers(0, n, size=extra)
+    keep = es != ed
+    rows = np.concatenate([src, dst, es[keep], ed[keep]])
+    cols = np.concatenate([dst, src, ed[keep], es[keep]])
+    graph = Graph.from_coo(rows, cols, None, n=n)
+
+    cfg = TrainConfig(dim=16, batch_size=64, model="tdist", ns=4)
+    plain = SyncForce2Vec(graph, cfg, min_width=4, hub_width=16,
+                          row_align=4, hot_rows=0)
+    split = SyncForce2Vec(graph, cfg, min_width=4, hub_width=16,
+                          row_align=4, hot_rows=300)
+    assert split.layout.hot_start == graph.n - 300
+    assert any(b.hot_spans for b in split.layout.buckets)
+    x_host = rng.random((graph.n, 16)).astype(np.float32)
+    pv = rng.integers(0, graph.n - 1, size=(graph.n, 4)).astype(np.int32)
+
+    def run(fv):
+        npad = fv.layout.n_pad
+        pvr = np.zeros((npad, 4), np.int32)
+        pvr[:graph.n] = fv.layout.inv_perm[pv[fv.layout.perm]]
+        return fv.unpad_embedding(
+            fv.run_iteration(fv.pad_embedding(x_host), pvr))
+
+    out_p = run(plain)
+    out_s = run(split)
+    np.testing.assert_allclose(out_s, out_p, rtol=1e-5, atol=1e-6)
+
+    # Pallas kernels over the split pieces (interpret mode)
+    with pltpu.force_tpu_interpret_mode():
+        fast = SyncForce2Vec(graph, cfg, min_width=4, hub_width=16,
+                             row_align=4, hot_rows=300, use_pallas=True)
+        out_f = run(fast)
+    np.testing.assert_allclose(out_f, out_p, rtol=1e-4, atol=1e-5)
