@@ -632,6 +632,66 @@ def exp_takemix():
            hot_m_rows_per_s=round(m_hot / t_hot / 1e6, 1))
 
 
+def exp_hotloop():
+    """Does a compact hot table keep the fast gather rate when it is (a) a
+    jit argument, (b) a per-iteration lax.slice of a big loop carry
+    (+ optimization_barrier), (c) its own loop carry?  Decides how the
+    hot/cold schedule must materialize the suffix copy."""
+    import jax
+    import jax.numpy as jnp
+
+    fence = _fence_fn(jax, jnp)
+    n, h, m = 1_500_000, 393_216, 2_000_000
+    big = jnp.zeros((n, 128), dtype=jnp.bfloat16)
+    hot_arg = jnp.zeros((h, 128), dtype=jnp.bfloat16)
+    idx = jax.random.randint(jax.random.PRNGKey(2), (m,), 0, h, jnp.int32)
+
+    def t_a(loops):
+        @jax.jit
+        def run():
+            def body(i, c):
+                g = jnp.take(hot_arg, (idx + i) % h, axis=0)
+                return c + g[0, 0].astype(jnp.float32)
+            return jax.lax.fori_loop(0, loops, body, jnp.float32(0))
+        return run
+
+    def t_b(loops):
+        @jax.jit
+        def run():
+            def body(i, carry):
+                c, x = carry
+                xh = jax.lax.optimization_barrier(
+                    jax.lax.slice(x, (n - h, 0), (n, 128)))
+                g = jnp.take(xh, (idx + i) % h, axis=0)
+                x = jax.lax.dynamic_update_slice(
+                    x, g[:1] + jnp.bfloat16(0), (0, 0))
+                return (c + g[0, 0].astype(jnp.float32), x)
+            return jax.lax.fori_loop(0, loops, body, (jnp.float32(0), big))[0]
+        return run
+
+    def t_c(loops):
+        @jax.jit
+        def run():
+            def body(i, carry):
+                c, xh = carry
+                g = jnp.take(xh, (idx + i) % h, axis=0)
+                xh = jax.lax.dynamic_update_slice(
+                    xh, g[:1] + jnp.bfloat16(0), (0, 0))
+                return (c + g[0, 0].astype(jnp.float32), xh)
+            return jax.lax.fori_loop(0, loops, body,
+                                     (jnp.float32(0), hot_arg))[0]
+        return run
+
+    for name, mk in (("arg", t_a), ("slice_of_carry", t_b), ("own_carry", t_c)):
+        try:
+            sec = slope_time(fence, mk, spans=(4, 16), reps=2)
+            report("hotloop", variant=name,
+                   m_rows_per_s=round(m / sec / 1e6, 1))
+        except Exception as e:
+            report("hotloop", variant=name,
+                   error=f"{type(e).__name__}: {str(e)[:160]}")
+
+
 if __name__ == "__main__":
     exps = sys.argv[1:] or ["uniq"]
     for e in exps:
