@@ -530,9 +530,11 @@ def exp_takesize():
     import os as _o
     sizes = [int(v) for v in _o.environ.get(
         "TAKESIZE_NS", "131072,524288,1500000,3000000").split(",")]
+    dt = {"bfloat16": jnp.bfloat16, "int8": jnp.int8,
+          "float32": jnp.float32}[_o.environ.get("TAKESIZE_DT", "bfloat16")]
     for n in sizes:
         idx = jax.random.randint(jax.random.PRNGKey(3), (m,), 0, n, jnp.int32)
-        tbl = jnp.zeros((n, 128), dtype=jnp.bfloat16)
+        tbl = jnp.zeros((n, 128), dtype=dt)
 
         def make(loops, tbl=tbl, idx=idx, n=n):
             @jax.jit
@@ -690,6 +692,99 @@ def exp_hotloop():
         except Exception as e:
             report("hotloop", variant=name,
                    error=f"{type(e).__name__}: {str(e)[:160]}")
+
+
+def exp_bigparts():
+    """Phase split of the big-graph (1.5M-node) split-layout iteration:
+    cold takes, hot takes, full attraction, repulsion+apply — accounts for
+    the measured ~477 ms/iter."""
+    import jax
+    import jax.numpy as jnp
+
+    from force2vec_tpu.graphs.io import load_graph
+    from force2vec_tpu.train.sync import SyncForce2Vec
+    from force2vec_tpu.train.trainer import TrainConfig
+
+    fence = _fence_fn(jax, jnp)
+    graph = load_graph("/tmp/bigrun_yt.mtx")
+    cfg = TrainConfig(dim=128, model="tdist", ns=5, batch_size=256,
+                      gather_dtype="bfloat16")
+    fv = SyncForce2Vec(graph, cfg, min_width=8, hub_width=128,
+                       take_group_bytes=32 * 2**20)
+    lay = fv.layout
+    n_pad = lay.n_pad
+    garr = fv._garr
+    x = fv.init_embedding(seed=1)
+    cold_groups, hot_groups = fv._take_groups_dbg
+    report("bigparts", cold_groups=len(cold_groups),
+           hot_groups=len(hot_groups),
+           cold_pieces=sum(len(g) for g in cold_groups),
+           hot_pieces=sum(len(g) for g in hot_groups))
+
+    def take_probe(groups, hot):
+        def make(loops):
+            @jax.jit
+            def run(garr, x):
+                def body(i, c):
+                    xg = (x + 0.0 * i).astype(jnp.bfloat16)
+                    src = (jax.lax.optimization_barrier(jax.lax.slice(
+                        xg, (lay.hot_start, 0), (n_pad, 128)))
+                        if hot else xg)
+                    s = jnp.float32(0)
+                    for grp in groups:
+                        idxs = []
+                        for pc in grp:
+                            if pc[0] == "rect":
+                                _, bi, w, st, cnt, real, ih, c_off, c_rows = pc
+                                nbr = jax.lax.dynamic_slice(
+                                    garr[f"nbr{bi}"], (c_off, 0), (c_rows, w))
+                                idxs.append(nbr.reshape(-1))
+                            else:
+                                (_, bi, w, st, ro, c_rows, f_off,
+                                 dpos, real, srckey) = pc
+                                key = (f"hotf{bi}" if srckey == "hot"
+                                       else f"nbr{bi}")
+                                idxs.append(jax.lax.slice(
+                                    garr[key], (f_off,),
+                                    (f_off + c_rows * w,)))
+                        fi = (idxs[0] if len(idxs) == 1
+                              else jnp.concatenate(idxs))
+                        t = jnp.take(src, fi, axis=0)
+                        s = s + t[0, 0].astype(jnp.float32)
+                    return c + s
+                return jax.lax.fori_loop(0, loops, body, jnp.float32(0))
+            return lambda: run(garr, x)
+        return make
+
+    rows_c = sum((pc[8] if pc[0] == "rect" else pc[5]) * pc[2]
+                 for g_ in cold_groups for pc in g_)
+    rows_h = sum(pc[5] * pc[2] for g_ in hot_groups for pc in g_)
+    sec = slope_time(fence, take_probe(cold_groups, False),
+                     spans=(2, 6), reps=2)
+    report("bigparts", phase="cold_takes", ms=round(sec * 1e3, 1),
+           m_rows_per_s=round(rows_c / sec / 1e6, 1))
+    sec = slope_time(fence, take_probe(hot_groups, True),
+                     spans=(2, 6), reps=2)
+    report("bigparts", phase="hot_takes", ms=round(sec * 1e3, 1),
+           m_rows_per_s=round(rows_h / sec / 1e6, 1))
+
+    # full iteration
+    ng = -(-n_pad // 256)
+    negs = jax.random.randint(jax.random.PRNGKey(2), (ng, 5), 0,
+                              graph.n, jnp.int32)
+
+    def make_full(loops):
+        @jax.jit
+        def run(g, x):
+            def body(i, xc):
+                return fv._iteration(g, xc, negs, None, 0.002)
+            return jax.lax.fori_loop(0, loops, body, x)
+        return lambda: run(garr, x)
+
+    sec = slope_time(fence, make_full, spans=(2, 6), reps=2)
+    ups = graph.nnz + graph.n * 5
+    report("bigparts", phase="full", ms=round(sec * 1e3, 1),
+           m_updates_per_s=round(ups / sec / 1e6, 1))
 
 
 if __name__ == "__main__":

@@ -58,6 +58,10 @@ def main() -> int:
                     "config (default: derived from BENCH_r03.json tail)")
     ap.add_argument("--chips-per-host", type=int, default=4)
     ap.add_argument("--out", default=os.path.join(REPO, "SCALING.json"))
+    ap.add_argument("--big-mtx", default="",
+                    help="also project a big graph (e.g. /tmp/bigrun_yt.mtx) "
+                    "with --big-sec-iter as its measured 1-chip sec/iter")
+    ap.add_argument("--big-sec-iter", type=float, default=0.477)
     args = ap.parse_args()
 
     sec_iter = args.sec_iter
@@ -78,9 +82,18 @@ def main() -> int:
     )
     from force2vec_tpu.train.trainer import TrainConfig
 
-    graph = synth_powerlaw_graph()
     cfg = TrainConfig(dim=128, model="tdist", ns=5, batch_size=256)
     cph = args.chips_per_host
+
+    if args.big_mtx:
+        from force2vec_tpu.graphs.io import load_graph
+
+        graph = load_graph(args.big_mtx)
+        sec_iter = args.big_sec_iter
+        section = "ici_projection_big"
+    else:
+        graph = synth_powerlaw_graph()
+        section = "ici_projection"
 
     rows = []
     for p in (2, 4, 8):
@@ -140,7 +153,7 @@ def main() -> int:
     if os.path.exists(args.out):
         with open(args.out) as f:
             data = json.load(f)
-    data["ici_projection"] = proj
+    data[section] = proj
     with open(args.out, "w") as f:
         json.dump(data, f, indent=2)
     print(f"wrote ici_projection into {args.out}", flush=True)

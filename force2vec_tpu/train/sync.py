@@ -384,6 +384,8 @@ class SyncForce2Vec:
         cold_pieces, hot_pieces = build_pieces()
         take_groups = pack(cold_pieces)
         hot_take_groups = pack(hot_pieces)
+        # debug/profiling hook (benchmarks/exp_r4.py bigparts)
+        self._take_groups_dbg = (take_groups, hot_take_groups)
 
         def run_group(g, x, src_tbl, grp, by_bucket, hot_adds, step):
             """One flat bulk take for a whole group + per-piece force sums."""
@@ -461,7 +463,13 @@ class SyncForce2Vec:
             for grp in take_groups:
                 run_group(g, x, xg, grp, by_bucket, hot_adds, step)
             if hot_take_groups:
-                xg_hot = jax.lax.slice(xg, (hot_start, 0), (n_pad, dim))
+                # optimization_barrier forces the suffix copy to MATERIALIZE
+                # as its own compact buffer — without it XLA fuses the slice
+                # into the takes (index offset into the big table), which
+                # never engages the ≤~100 MB fast gather tier (measured:
+                # 414 M rows/s materialized vs 165 M fused; exp_r4 hotloop)
+                xg_hot = jax.lax.optimization_barrier(
+                    jax.lax.slice(xg, (hot_start, 0), (n_pad, dim)))
                 for grp in hot_take_groups:
                     run_group(g, x, xg_hot, grp, by_bucket, hot_adds, step)
             parts = []
