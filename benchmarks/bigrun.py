@@ -61,10 +61,9 @@ def main():
                     help="iterations per device program (the remote-TPU "
                     "worker kills single programs running longer than "
                     "~2 min, so big-graph runs must span-chunk)")
-    ap.add_argument("--group-mb", type=int, default=128,
-                    help="take-group size (MB); big graphs pay ~200 µs per "
-                    "take op, so fewer/larger groups win there (the 8-32 MB "
-                    "optimum only holds at in-tier bench scale)")
+    ap.add_argument("--group-mb", type=int, default=32,
+                    help="take-group size (MB); measured best at 1.5M-node "
+                    "scale (122.7 M up/s at 32 MB vs 115.6 at 128 MB)")
     ap.add_argument("--mtx", default="/tmp/bigrun.mtx")
     args = ap.parse_args()
 
