@@ -122,16 +122,28 @@ def main():
     ups = (graph.nnz + graph.n * cfg.ns) * args.iters / train_s
     print(f"train: {args.iters} iters in {train_s:.1f}s = {ups/1e6:.1f} M updates/s",
           flush=True)
-    emb = fv.unpad_embedding(x)
 
     # subsampled link prediction (reference: biglinkprediction.py evaluates
-    # on the first `size` vertices)
+    # on the first `size` vertices).  Fetch ONLY the eval rows: the tunnel
+    # moves ~40 MB/s, so pulling a full com-Orkut-scale table (1.5 GB)
+    # would take ~half an hour for rows the eval never reads.
     from force2vec_tpu.eval.linkpred import link_prediction_scores
 
     t0 = time.perf_counter()
+    idx_rel = jnp_idx = None
+    import jax.numpy as jnp
+
+    idx_rel = jnp.asarray(
+        fv.layout.inv_perm[np.arange(args.eval_size)], dtype=jnp.int32)
+    emb_sub = np.asarray(
+        jax.jit(lambda x, i: jnp.take(x, i, axis=0))(x, idx_rel))
+    fetch_s = time.perf_counter() - t0
+    print(f"eval-row fetch: {fetch_s:.1f}s ({emb_sub.nbytes/1e6:.0f} MB)",
+          flush=True)
+    t0 = time.perf_counter()
     sub_nodes = np.arange(args.eval_size)
     sub = graph.induced_subgraph(sub_nodes)
-    scores = link_prediction_scores(sub, emb[: args.eval_size], seed=0)
+    scores = link_prediction_scores(sub, emb_sub, seed=0)
     eval_s = time.perf_counter() - t0
     print(f"eval (first {args.eval_size} nodes, {sub.nnz} edges): {scores} "
           f"in {eval_s:.1f}s", flush=True)
