@@ -207,7 +207,7 @@ def main():
     # UPPER bound on the CPU (see baselines/cpu_reference.json), so
     # vs_baseline is a lower bound on the true ratio, per BASELINE.json's
     # ">=5x vs 32-thread" north star.
-    vs = vs_host = None
+    vs = vs_host = vs_real = None
     base_path = os.path.join(os.path.dirname(__file__), "baselines",
                              "cpu_reference.json")
     if os.path.exists(base_path):
@@ -219,6 +219,14 @@ def main():
             vs = mups / base["m_updates_per_s"]
         if base.get("m_updates_per_s"):
             vs_host = mups / base["m_updates_per_s"]
+        # bandwidth-capped 32-thread model (STREAM triad + bytes/update,
+        # baselines/cpu_reference.json::realistic_32t_model) — the
+        # defensible denominator; the linear extrapolation above is a
+        # deliberate upper bound on the CPU
+        real = (base.get("realistic_32t_model") or {}).get(
+            "m_updates_per_s_realistic")
+        if real:
+            vs_real = mups / real
 
     print(
         json.dumps(
@@ -239,6 +247,8 @@ def main():
         f"gather_dtype={gather_dtype} "
         f"vs_baseline=per-chip / extrapolated-32-thread-AVX512 (linear "
         f"extrapolation overstates the CPU, so this is a lower bound); "
+        f"vs_realistic (bw-capped 32t model, 250 M up/s): "
+        f"{vs_real and round(vs_real, 2)}x; "
         f"vs 2-thread measured host: {vs_host and round(vs_host, 2)}x; "
         f"gather-roofline: {roof_pct and round(roof_pct, 1)}%",
         file=sys.stderr,

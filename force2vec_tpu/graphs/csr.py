@@ -134,6 +134,93 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def _split_hot(nbr: np.ndarray, dg: np.ndarray, w: int, hot_start: int):
+    """Partition a filled ELL rectangle into per-run cold + hot rectangles.
+
+    Runs are maximal row spans of equal (⌈hot/8⌉·8, ⌈cold/8⌉·8) width
+    class; BOTH rectangles are tight, so no full-width cold padding
+    survives (that padding would be fetched from the slow big table and
+    erase the fast-tier win — PERF.md §7.6).
+
+    Fully vectorized: run boundaries by flatnonzero over the width-class
+    arrays, rectangle fill by one flat scatter per stream.  The previous
+    per-row Python while-loop cost ~134 s of the com-Orkut layout build
+    (BIGRUN_orkprobe ``layout_seconds``); this pass is O(count·w) numpy.
+
+    Returns ``(cold_flat, cdeg, hdeg, hot_flat, spans)`` where the flats
+    are 1-D int32 (hot ids LOCAL to the hot suffix), the deg arrays are
+    span-row-padded, and ``spans`` is a list of :class:`HotSpan`.
+    """
+    cnt_rows = len(dg)
+    hotm = (nbr >= hot_start) & (np.arange(w)[None, :] < dg[:, None])
+    hot_ct = hotm.sum(1).astype(np.int32)
+    # stable argsort of booleans packs each row as
+    # [cold valid..., padding..., hot...] (False slots keep their order)
+    order = np.argsort(hotm, axis=1, kind="stable")
+    packed = np.take_along_axis(nbr, order, axis=1)
+    dg_cold = (dg - hot_ct).astype(np.int32)
+    wh_row = ((hot_ct + 7) // 8) * 8
+    wc_row = ((dg_cold + 7) // 8) * 8
+
+    empty = np.zeros(0, dtype=np.int32)
+    if cnt_rows == 0:
+        return empty, empty, empty, empty, []
+
+    change = np.flatnonzero(
+        (wh_row[1:] != wh_row[:-1]) | (wc_row[1:] != wc_row[:-1])) + 1
+    starts = np.concatenate([[0], change]).astype(np.int64)
+    ends = np.concatenate([change, [cnt_rows]]).astype(np.int64)
+    counts = ends - starts
+    # rectangles/deg rows padded to whole 8-row tiles so every Pallas tile
+    # sees in-bounds data (pad rows: deg 0, ids 0)
+    r8s = ((counts + 7) // 8) * 8
+    whs = wh_row[starts].astype(np.int64)
+    wcs = wc_row[starts].astype(np.int64)
+    cold_offs = np.concatenate([[0], np.cumsum(r8s * wcs)])
+    hot_offs = np.concatenate([[0], np.cumsum(r8s * whs)])
+    deg_offs = np.concatenate([[0], np.cumsum(r8s)])
+
+    run_id = np.repeat(np.arange(len(starts)), counts)
+    local = np.arange(cnt_rows, dtype=np.int64) - starts[run_id]
+
+    cdeg = np.zeros(int(deg_offs[-1]), dtype=np.int32)
+    hdeg = np.zeros(int(deg_offs[-1]), dtype=np.int32)
+    deg_pos = deg_offs[run_id] + local
+    cdeg[deg_pos] = dg_cold
+    hdeg[deg_pos] = hot_ct
+
+    cold_flat = np.zeros(int(cold_offs[-1]), dtype=np.int32)
+    tot_c = int(dg_cold.sum())
+    if tot_c:
+        lens = dg_cold.astype(np.int64)
+        row_rep = np.repeat(np.arange(cnt_rows), lens)
+        k = np.arange(tot_c) - np.repeat(np.cumsum(lens) - lens, lens)
+        base = cold_offs[run_id] + local * wcs[run_id]
+        cold_flat[np.repeat(base, lens) + k] = packed[row_rep, k]
+
+    hot_flat = np.zeros(int(hot_offs[-1]), dtype=np.int32)
+    tot_h = int(hot_ct.sum())
+    if tot_h:
+        lens = hot_ct.astype(np.int64)
+        row_rep = np.repeat(np.arange(cnt_rows), lens)
+        k = np.arange(tot_h) - np.repeat(np.cumsum(lens) - lens, lens)
+        base = hot_offs[run_id] + local * whs[run_id]
+        # hot slots sit in the LAST hot_ct columns of the packed row
+        src_col = (w - np.repeat(lens, lens)) + k
+        hot_flat[np.repeat(base, lens) + k] = (
+            packed[row_rep, src_col] - hot_start)
+
+    spans = [
+        HotSpan(row_off=int(s), count=int(c), cold_width=int(wc),
+                cold_off=int(co), width=int(wh), flat_off=int(ho),
+                deg_off=int(do))
+        for s, c, wc, co, wh, ho, do in zip(
+            starts, counts, wcs, cold_offs[:-1], whs, hot_offs[:-1],
+            deg_offs[:-1])
+    ]
+    return cold_flat, cdeg, hdeg, hot_flat, spans
+
+
 @dataclasses.dataclass
 class HotSpan:
     """A contiguous row run of one bucket stored as TWO tight rectangles:
@@ -313,77 +400,6 @@ class SyncLayout:
             inv_perm[perm] = np.arange(n, dtype=np.int32)
             deg_sorted = deg_orig[perm]
 
-        def split_hot(nbr, dg, w):
-            """Partition a filled ELL rectangle into per-run cold + hot
-            rectangles (runs grouped by hot-width class; BOTH rectangles
-            tight, so no full-width cold padding survives — that padding
-            would be fetched from the slow big table and erase the win)."""
-            hotm = (nbr >= hot_start) & (
-                np.arange(w)[None, :] < dg[:, None])
-            hot_ct = hotm.sum(1).astype(np.int32)
-            order = np.argsort(hotm, axis=1, kind="stable")
-            packed = np.take_along_axis(nbr, order, axis=1)
-            dg_cold = (dg - hot_ct).astype(np.int32)
-            wh_row = ((hot_ct + 7) // 8) * 8
-            wc_row = ((dg_cold + 7) // 8) * 8
-            spans, hrects, crects, cdegs, hdegs = [], [], [], [], []
-            hot_off = cold_off = deg_off = 0
-            r = 0
-            cnt_rows = len(dg)
-            while r < cnt_rows:
-                e = r
-                while (e < cnt_rows and wh_row[e] == wh_row[r]
-                       and wc_row[e] == wc_row[r]):
-                    e += 1
-                wh = int(wh_row[r])
-                cnt = e - r
-                # rectangles/deg rows padded to whole 8-row tiles so every
-                # Pallas tile sees in-bounds data (pad rows: deg 0, ids 0)
-                r8 = _round_up(cnt, 8)
-                rows_ = np.arange(r, e)
-                wc = int(((int(dg_cold[rows_].max()) + 7) // 8) * 8)
-                cd = np.zeros(r8, dtype=np.int32)
-                cd[:cnt] = dg_cold[rows_]
-                hd = np.zeros(r8, dtype=np.int32)
-                hd[:cnt] = hot_ct[rows_]
-                cdegs.append(cd)
-                hdegs.append(hd)
-                if wc > 0:
-                    kc = np.arange(wc)[None, :]
-                    crect = np.zeros((r8, wc), dtype=np.int32)
-                    crect[:cnt] = np.where(
-                        kc < dg_cold[rows_][:, None],
-                        np.take_along_axis(
-                            packed[rows_], np.clip(kc, 0, w - 1), axis=1),
-                        0)
-                    crects.append(crect.reshape(-1))
-                if wh > 0:
-                    k = np.arange(wh)[None, :]
-                    src = (w - hot_ct[rows_])[:, None] + k
-                    rect = np.take_along_axis(
-                        packed[rows_], np.clip(src, 0, w - 1), axis=1)
-                    hrect = np.zeros((r8, wh), dtype=np.int32)
-                    hrect[:cnt] = np.where(
-                        k < hot_ct[rows_][:, None], rect - hot_start, 0)
-                    hrects.append(hrect.reshape(-1))
-                spans.append(HotSpan(row_off=r, count=cnt,
-                                     cold_width=wc, cold_off=cold_off,
-                                     width=wh, flat_off=hot_off,
-                                     deg_off=deg_off))
-                cold_off += r8 * wc
-                hot_off += r8 * wh
-                deg_off += r8
-                r = e
-            cold_flat = (np.concatenate(crects) if crects
-                         else np.zeros(0, dtype=np.int32))
-            hot_flat = (np.concatenate(hrects) if hrects
-                        else np.zeros(0, dtype=np.int32))
-            cdeg = (np.concatenate(cdegs) if cdegs
-                    else np.zeros(0, dtype=np.int32))
-            hdeg = (np.concatenate(hdegs) if hdegs
-                    else np.zeros(0, dtype=np.int32))
-            return cold_flat, cdeg, hdeg, hot_flat, spans
-
         buckets = []
         padded_edges = 0
         # non-hub buckets: contiguous runs of the degree-sorted order
@@ -396,7 +412,8 @@ class SyncLayout:
             nbr[: j - i] = nbr_j
             dg[: j - i] = dg_j
             if hot_start is not None:
-                cflat, cdeg, hdeg, hflat, hspans = split_hot(nbr, dg, w)
+                cflat, cdeg, hdeg, hflat, hspans = _split_hot(
+                    nbr, dg, w, hot_start)
                 buckets.append(EllBucket(
                     width=w, start=i, count=count, nbr=cflat, deg=cdeg,
                     hot_flat=hflat, hot_deg=hdeg, hot_spans=hspans))
