@@ -135,7 +135,7 @@ class ShardedSyncForce2Vec:
     """
 
     def __init__(self, graph, config, mesh: Mesh, min_width=8, hub_width=256,
-                 use_pallas=None):
+                 use_pallas=None, hot_rows=None):
         from force2vec_tpu.train.sync import SyncForce2Vec
 
         n_dp = mesh.shape["dp"]
@@ -145,10 +145,14 @@ class ShardedSyncForce2Vec:
         align = 8
         while align % n_dp:
             align *= 2
+        # hot/cold gather split composes with dp (VERDICT r4 #4): each rank
+        # sweeps a 1/dp slice of every span chunk and the compact hot-suffix
+        # copy is derived per-rank from the dp-replicated X.  span_align =
+        # the dp-divisible row align so chunks split evenly across ranks.
         self.fv = SyncForce2Vec(
             graph, config, min_width=min_width, hub_width=hub_width,
             row_align=align, use_pallas=use_pallas,
-            hot_rows=0,  # hot/cold split is single-shard (dp slices rows)
+            hot_rows=hot_rows, span_align=align,
         )
         self.mesh = mesh
         self.spmd = SpmdAxes(dp="dp", tp="tp", n_dp=n_dp, n_tp=n_tp)

@@ -134,7 +134,8 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def _split_hot(nbr: np.ndarray, dg: np.ndarray, w: int, hot_start: int):
+def _split_hot(nbr: np.ndarray, dg: np.ndarray, w: int, hot_start: int,
+               align: int = 8):
     """Partition a filled ELL rectangle into per-run cold + hot rectangles.
 
     Runs are maximal row spans of equal (⌈hot/8⌉·8, ⌈cold/8⌉·8) width
@@ -171,9 +172,11 @@ def _split_hot(nbr: np.ndarray, dg: np.ndarray, w: int, hot_start: int):
     starts = np.concatenate([[0], change]).astype(np.int64)
     ends = np.concatenate([change, [cnt_rows]]).astype(np.int64)
     counts = ends - starts
-    # rectangles/deg rows padded to whole 8-row tiles so every Pallas tile
-    # sees in-bounds data (pad rows: deg 0, ids 0)
-    r8s = ((counts + 7) // 8) * 8
+    # rectangles/deg rows padded to whole ``align``-row blocks (≥ 8-row
+    # Pallas tiles; a dp-sharded runner passes align divisible by n_dp so
+    # every span chunk splits evenly across ranks) — pad rows: deg 0, ids 0
+    assert align % 8 == 0, f"span align {align} must be a multiple of 8"
+    r8s = ((counts + align - 1) // align) * align
     whs = wh_row[starts].astype(np.int64)
     wcs = wc_row[starts].astype(np.int64)
     cold_offs = np.concatenate([[0], np.cumsum(r8s * wcs)])
@@ -213,10 +216,10 @@ def _split_hot(nbr: np.ndarray, dg: np.ndarray, w: int, hot_start: int):
     spans = [
         HotSpan(row_off=int(s), count=int(c), cold_width=int(wc),
                 cold_off=int(co), width=int(wh), flat_off=int(ho),
-                deg_off=int(do))
-        for s, c, wc, co, wh, ho, do in zip(
+                deg_off=int(do), rows_pad=int(r8))
+        for s, c, wc, co, wh, ho, do, r8 in zip(
             starts, counts, wcs, cold_offs[:-1], whs, hot_offs[:-1],
-            deg_offs[:-1])
+            deg_offs[:-1], r8s)
     ]
     return cold_flat, cdeg, hdeg, hot_flat, spans
 
@@ -232,12 +235,13 @@ class HotSpan:
     narrow degree band."""
 
     row_off: int  # first row of the run, relative to the bucket
-    count: int  # REAL rows; rectangles are stored with ceil8(count) rows
+    count: int  # REAL rows; rectangles are stored with ``rows_pad`` rows
     cold_width: int  # cold ELL width (ceil-8 of the run's cold counts; 0 ⇒ none)
     cold_off: int  # element offset into EllBucket.nbr (flat when split)
     width: int  # hot ELL width (ceil-8 of the run's hot counts; 0 ⇒ none)
     flat_off: int  # element offset into EllBucket.hot_flat
     deg_off: int = 0  # row offset into the bucket's span-padded deg arrays
+    rows_pad: int = 0  # stored rect rows: count rounded up to the span align
 
 
 @dataclasses.dataclass
@@ -331,6 +335,7 @@ class SyncLayout:
         row_align: int = 8,
         widths: Optional[list] = None,
         hot_rows: int = 0,
+        span_align: int = 8,
     ) -> "SyncLayout":
         n = graph.n
         deg_orig = graph.degrees.astype(np.int64)
@@ -413,12 +418,12 @@ class SyncLayout:
             dg[: j - i] = dg_j
             if hot_start is not None:
                 cflat, cdeg, hdeg, hflat, hspans = _split_hot(
-                    nbr, dg, w, hot_start)
+                    nbr, dg, w, hot_start, align=span_align)
                 buckets.append(EllBucket(
                     width=w, start=i, count=count, nbr=cflat, deg=cdeg,
                     hot_flat=hflat, hot_deg=hdeg, hot_spans=hspans))
                 padded_edges += sum(
-                    _round_up(sp.count, 8) * (sp.width + sp.cold_width)
+                    sp.rows_pad * (sp.width + sp.cold_width)
                     for sp in hspans)
             else:
                 buckets.append(EllBucket(
@@ -460,7 +465,7 @@ class SyncLayout:
         # tail bucket onto its neighbor's rows.
         max_extent = max(
             [n] + [b.start + b.count for b in buckets if b.owners is None]
-            + [b.start + sp.row_off + _round_up(sp.count, 8)
+            + [b.start + sp.row_off + sp.rows_pad
                for b in buckets if b.hot_spans
                for sp in b.hot_spans]
         )

@@ -58,6 +58,7 @@ class SyncForce2Vec:
         width_scheme: str = "mult8",
         take_group_bytes: Optional[int] = None,
         hot_rows: Optional[int] = None,
+        span_align: int = 8,
     ):
         self.graph = graph
         self.config = config
@@ -109,7 +110,7 @@ class SyncForce2Vec:
             graph, min_width=min_width, hub_width=hub_width,
             row_align=row_align,
             widths=SyncLayout.widths_for(min_width, hub_width, width_scheme),
-            hot_rows=self.hot_rows,
+            hot_rows=self.hot_rows, span_align=span_align,
         )
         # Auto take-group size: throughput is flat for 8-32 MB groups at
         # the headline bench size (benchmarks/profile_takegroups.py), but a
@@ -245,10 +246,11 @@ class SyncForce2Vec:
         tile_budget_bytes = self.tile_budget_bytes
         gsize = (gdt or self._dtype).itemsize
 
-        def chunk_spans(local: int, width: int, cap_bytes: Optional[int] = None):
+        def chunk_spans(local: int, width: int, cap_bytes: Optional[int] = None,
+                        quant: int = 8):
             """Static [(row_offset, row_count)] covering [0, local)."""
             cap = (cap_bytes or tile_budget_bytes) // max(width * dim * gsize, 1)
-            cap = max(8, (cap // 8) * 8)
+            cap = max(quant, (cap // quant) * quant)
             if local <= cap:
                 return [(0, local)]
             return [(o, min(cap, local - o)) for o in range(0, local, cap)]
@@ -329,11 +331,22 @@ class SyncForce2Vec:
         # table, hot pieces from the compact hot-suffix copy that the
         # gather engine serves ~3.6x faster at big-graph scale.
         hot_start = lay.hot_start
+        # dp + split: every span chunk must divide evenly across ranks.
+        # Each chunk's rows are quantized to lcm(8, n_dp); the layout's
+        # span_align (ShardedSyncForce2Vec passes its dp-divisible row
+        # align) guarantees the stored rects round to that quantum too.
+        import math as _math
+
+        row_quant = (8 * n_dp) // _math.gcd(8, n_dp)
         if hot_start is not None and n_dp > 1:
-            raise NotImplementedError(
-                "hot/cold split layout is single-shard (build the layout "
-                "with hot_rows=0 under dp)"
-            )
+            bad = [sp.rows_pad for b in lay.buckets if b.hot_spans
+                   for sp in b.hot_spans if sp.rows_pad % row_quant]
+            if bad:
+                raise ValueError(
+                    f"hot/cold split under dp={n_dp} needs span rects "
+                    f"aligned to {row_quant} rows — rebuild the layout "
+                    f"with span_align={row_quant} (got rect rows {bad[:3]}…)"
+                )
 
         def build_pieces():
             cold, hot = [], []
@@ -346,11 +359,13 @@ class SyncForce2Vec:
                                      is_hub, c_off, c_rows))
                     continue
                 for si, sp in enumerate(b.hot_spans):
-                    r8 = -(-sp.count // 8) * 8  # stored rect rows
                     if sp.cold_width > 0:
                         for c_off, c_rows in chunk_spans(
-                                r8, sp.cold_width, group_cap):
+                                sp.rows_pad, sp.cold_width, group_cap,
+                                quant=row_quant):
                             real = min(sp.count - c_off, c_rows)
+                            if real <= 0:
+                                continue  # chunk holds only pad rows
                             cold.append((
                                 "flat", bi, sp.cold_width, start,
                                 sp.row_off + c_off, c_rows,
@@ -358,8 +373,11 @@ class SyncForce2Vec:
                                 sp.deg_off + c_off, real, "cold"))
                     if sp.width > 0:
                         for c_off, c_rows in chunk_spans(
-                                r8, sp.width, group_cap):
+                                sp.rows_pad, sp.width, group_cap,
+                                quant=row_quant):
                             real = min(sp.count - c_off, c_rows)
+                            if real <= 0:
+                                continue
                             hot.append((
                                 "flat", bi, sp.width, start,
                                 sp.row_off + c_off, c_rows,
@@ -405,10 +423,16 @@ class SyncForce2Vec:
                     (_, bi, width, start, row_off, c_rows, f_off,
                      deg_pos, real, src) = pc
                     key = f"hotf{bi}" if src == "hot" else f"nbr{bi}"
-                    idxs.append(jax.lax.slice(
-                        g[key], (f_off,), (f_off + c_rows * width,)))
+                    # dp: each rank takes/sweeps a contiguous 1/n_dp row
+                    # slice of the chunk; the all_gather in the consumer
+                    # reassembles before the [:real] trim
+                    loc = c_rows // n_dp
+                    r0 = spmd.dp_rank() * jnp.int32(loc)
+                    idxs.append(jax.lax.dynamic_slice(
+                        g[key], (jnp.int32(f_off) + r0 * width,),
+                        (loc * width,)))
                     metas.append(("flat", bi, width, start, row_off,
-                                  c_rows, deg_pos, real, src))
+                                  loc, deg_pos, real, src, r0))
             flat_idx = idxs[0] if len(idxs) == 1 else jnp.concatenate(idxs)
             flat = jnp.take(src_tbl, flat_idx, axis=0)  # [Σ rows·width, dim]
             fo = 0
@@ -437,21 +461,22 @@ class SyncForce2Vec:
                         force_sum("edge", xi, xj, dg, invd, step)
                     )
                 else:
-                    (_, bi, width, start, row_off, c_rows, deg_pos,
-                     real, src) = m
+                    (_, bi, width, start, row_off, loc, deg_pos,
+                     real, src, r0) = m
                     xj = jax.lax.slice(
-                        flat, (fo, 0), (fo + c_rows * width, dim)
-                    ).reshape(c_rows, width, dim)
-                    fo += c_rows * width
+                        flat, (fo, 0), (fo + loc * width, dim)
+                    ).reshape(loc, width, dim)
+                    fo += loc * width
                     dkey = f"hotdeg{bi}" if src == "hot" else f"deg{bi}"
-                    dg = jax.lax.slice(g[dkey], (deg_pos,), (deg_pos + c_rows,))
-                    xi = jax.lax.slice(
-                        x, (start + row_off, 0),
-                        (start + row_off + c_rows, dim))
-                    invd = jax.lax.slice(
-                        g["inv_deg"], (start + row_off,),
-                        (start + row_off + c_rows,))
-                    res = force_sum("edge", xi, xj, dg, invd, step)[:real]
+                    dg = jax.lax.dynamic_slice(
+                        g[dkey], (jnp.int32(deg_pos) + r0,), (loc,))
+                    xi = jax.lax.dynamic_slice(
+                        x, (jnp.int32(start + row_off) + r0, 0), (loc, dim))
+                    invd = jax.lax.dynamic_slice(
+                        g["inv_deg"], (jnp.int32(start + row_off) + r0,),
+                        (loc,))
+                    res = gathered(
+                        force_sum("edge", xi, xj, dg, invd, step))[:real]
                     if src == "hot":
                         hot_adds.setdefault(bi, []).append((row_off, res))
                     else:

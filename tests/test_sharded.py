@@ -100,3 +100,63 @@ def test_dp_grouped_rep_pallas_matches_jnp():
                                     use_pallas=True)
         got = fast.train(iters=2, seed=9)
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize("dp,tp", [(2, 1), (4, 2)])
+def test_sharded_sync_hot_cold_split_matches_plain(dp, tp):
+    """Hot/cold gather split under dp (VERDICT r4 #4): each rank sweeps a
+    1/dp slice of every span chunk and all_gather reassembles before the
+    real-row trim.  Must equal the unsplit single-device run — injected
+    per-vertex negatives in ORIGINAL id space make the relabeling
+    difference (the split refines within-bucket order) immaterial."""
+    from force2vec_tpu.dist.sharded import ShardedSyncForce2Vec
+    from force2vec_tpu.graphs.csr import Graph
+    from force2vec_tpu.train.sync import SyncForce2Vec
+
+    rng = np.random.default_rng(17)
+    n, extra = 1500, 900
+    src = np.arange(n); dst = (src + 1) % n
+    es = rng.integers(0, n, size=extra); ed = rng.integers(0, n, size=extra)
+    keep = es != ed
+    rows = np.concatenate([src, dst, es[keep], ed[keep]])
+    cols = np.concatenate([dst, src, ed[keep], es[keep]])
+    graph = Graph.from_coo(rows, cols, None, n=n)
+
+    cfg = TrainConfig(dim=DIM, batch_size=graph.n, model="tdist", ns=4,
+                      per_vertex_samples=True)
+    plain = SyncForce2Vec(graph, cfg, min_width=4, hub_width=16,
+                          hot_rows=0)
+    mesh = make_mesh(jax.devices()[: dp * tp], dp=dp, tp=tp)
+    split = ShardedSyncForce2Vec(graph, cfg, mesh, min_width=4,
+                                 hub_width=16, hot_rows=300)
+    assert split.fv.layout.hot_start == graph.n - 300
+    assert any(b.hot_spans for b in split.fv.layout.buckets)
+
+    x_host = rng.random((graph.n, DIM)).astype(np.float32)
+    pv = rng.integers(0, graph.n - 1, size=(graph.n, 4)).astype(np.int32)
+
+    def one_iter(fv, run_iteration, pad, unpad, lay):
+        pvr = np.zeros((lay.n_pad, 4), np.int32)
+        pvr[:graph.n] = lay.inv_perm[pv[lay.perm]]
+        return unpad(run_iteration(pad(x_host), pvr))
+
+    want = one_iter(plain, plain.run_iteration, plain.pad_embedding,
+                    plain.unpad_embedding, plain.layout)
+
+    # drive the sharded iteration with the same injected negatives
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    fv = split.fv
+    lay = fv.layout
+    pvr = np.zeros((lay.n_pad, 4), np.int32)
+    pvr[:graph.n] = lay.inv_perm[pv[fv.layout.perm]]
+    iteration = fv._build_iteration_fn(split.spmd)
+    step = jnp.float32(fv.lr)
+    sharded = jax.jit(jax.shard_map(
+        lambda g, x, negs: iteration(g, x, negs, None, step),
+        mesh=mesh, in_specs=(P(), split.x_spec, P()),
+        out_specs=split.x_spec, check_vma=False))
+    x0 = split.pad_embedding(x_host)
+    got = fv.unpad_embedding(sharded(fv._garr, x0, jnp.asarray(pvr)))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)

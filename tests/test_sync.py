@@ -275,7 +275,7 @@ def _split_hot_loop_reference(nbr, dg, w, hot_start):
         spans.append(HotSpan(row_off=r, count=cnt,
                              cold_width=wc, cold_off=cold_off,
                              width=wh, flat_off=hot_off,
-                             deg_off=deg_off))
+                             deg_off=deg_off, rows_pad=r8))
         cold_off += r8 * wc
         hot_off += r8 * wh
         deg_off += r8
