@@ -55,6 +55,17 @@ def main():
     ap.add_argument("--deg", type=int, default=34)
     ap.add_argument("--iters", type=int, default=300)
     ap.add_argument("--eval-size", type=int, default=100_000)
+    ap.add_argument("--eval-rows", default="first", choices=["first", "random"],
+                    help="which vertices the subsampled link-pred uses. The "
+                    "reference protocol takes the FIRST `size` vertices "
+                    "(performancescores/biglinkprediction.py) of real .mtx "
+                    "files whose ids are arbitrary — i.e. effectively a "
+                    "random sample.  synth_big assigns low ids to hubs, so "
+                    "'first' there selects the top-degree core (whose t-dist "
+                    "embedding collapses at high density and reads AUC~0.5 "
+                    "regardless of training); 'random' (seeded) is the "
+                    "faithful equivalent of the reference protocol on this "
+                    "generator.")
     ap.add_argument("--tag", default="", help="artifact suffix: BIGRUN_<tag>.json")
     ap.add_argument("--no-pallas", action="store_true")
     ap.add_argument("--span", type=int, default=50,
@@ -130,18 +141,21 @@ def main():
     from force2vec_tpu.eval.linkpred import link_prediction_scores
 
     t0 = time.perf_counter()
-    idx_rel = jnp_idx = None
     import jax.numpy as jnp
 
+    if args.eval_rows == "random":
+        sub_nodes = np.sort(np.random.default_rng(12345).choice(
+            graph.n, size=args.eval_size, replace=False))
+    else:
+        sub_nodes = np.arange(args.eval_size)
     idx_rel = jnp.asarray(
-        fv.layout.inv_perm[np.arange(args.eval_size)], dtype=jnp.int32)
+        fv.layout.inv_perm[sub_nodes], dtype=jnp.int32)
     emb_sub = np.asarray(
         jax.jit(lambda x, i: jnp.take(x, i, axis=0))(x, idx_rel))
     fetch_s = time.perf_counter() - t0
-    print(f"eval-row fetch: {fetch_s:.1f}s ({emb_sub.nbytes/1e6:.0f} MB)",
-          flush=True)
+    print(f"eval-row fetch [{args.eval_rows}]: {fetch_s:.1f}s "
+          f"({emb_sub.nbytes/1e6:.0f} MB)", flush=True)
     t0 = time.perf_counter()
-    sub_nodes = np.arange(args.eval_size)
     sub = graph.induced_subgraph(sub_nodes)
     scores = link_prediction_scores(sub, emb_sub, seed=0)
     eval_s = time.perf_counter() - t0
@@ -160,7 +174,8 @@ def main():
             "schedule": "sync",
             "dim": 128,
         },
-        "eval": {"subsample": args.eval_size, **{k: round(v, 4) for k, v in scores.items()}},
+        "eval": {"subsample": args.eval_size, "rows": args.eval_rows,
+                 **{k: round(v, 4) for k, v in scores.items()}},
     }
     name = f"BIGRUN_{args.tag}.json" if args.tag else "BIGRUN.json"
     with open(os.path.join(REPO, name), "w") as f:

@@ -193,6 +193,33 @@ def main():
     )
     t_serial = timed(lambda: fs(fv._garr, x, pool_ids, step))
 
+    # -- 2b. iteration-pipelined (stale-halo) A/B ----------------------------
+    # the r5 schedule (dist/vertex_sharded.py halo_stale=True): iteration i
+    # consumes the buffers exchanged at i-1, so the in-flight collective has
+    # NO consumer in its own iteration.  Slope-timed over the real train
+    # loop (exact vs stale) so the fori_loop carry cost is included.
+    def slope(runner, spans=(4, 16)):
+        key = jax.random.PRNGKey(1)
+        ts = {}
+        for s in spans:
+            xx = runner._train_jit(runner._garr, x, key, s, 0)
+            np.asarray(jax.tree_util.tree_leaves(xx)[0]).ravel()[:1]
+            best = float("inf")
+            for _ in range(3):
+                t0 = time.perf_counter()
+                xx = runner._train_jit(runner._garr, x, key, s, 0)
+                np.asarray(jax.tree_util.tree_leaves(xx)[0]).ravel()[:1]
+                best = min(best, time.perf_counter() - t0)
+            ts[s] = best
+        return (ts[spans[1]] - ts[spans[0]]) / (spans[1] - spans[0])
+
+    fv_stale = VertexShardedForce2Vec(
+        graph, cfg, make_vp_mesh(), min_width=16, hub_width=128,
+        sampling="pool", halo_stale=True,
+    )
+    t_exact_loop = slope(fv)
+    t_stale_loop = slope(fv_stale)
+
     lines = []
     lines.append("# OVERLAP — halo-exchange / compute overlap evidence\n")
     lines.append(
@@ -243,6 +270,27 @@ def main():
             "TPU, where the same HLO passes (async collective creation + "
             "latency-hiding scheduler) run.\n"
         )
+    lines.append("## 2b. Iteration-pipelined exchange (halo_stale=True)\n")
+    dsp = (t_exact_loop / t_stale_loop - 1) * 100
+    lines.append(
+        "The r5 schedule issues iteration i's exchange but consumes the "
+        "buffers exchanged at i-1 (one-iteration-stale halo rows — the "
+        "reference's own cross-batch Hogwild-adjacent semantics, "
+        "sample/algorithms.cpp:629-639; quality-gated on cora in "
+        "tests/test_vertex_sharded.py::test_halo_stale_quality_cora).  "
+        "The in-flight collective then has NO consumer in its own "
+        "iteration — nothing in the program can block on it before the "
+        "next loop step.  Slope-timed over the real train loop:\n"
+    )
+    lines.append(
+        f"- exact (same-iteration consume): {t_exact_loop*1e3:.2f} ms/iter\n"
+        f"- pipelined (stale consume): {t_stale_loop*1e3:.2f} ms/iter\n"
+        f"- speedup: {dsp:+.1f}%"
+        + ("  (CPU mesh: collectives are memcpys, so ~0 is the expected "
+           "no-regression result; the win appears where the exchange has "
+           "real latency to hide)" if platform == "cpu" else "")
+        + "\n"
+    )
     lines.append("## 3. Single-chip sync path (real TPU, slope-timed)\n")
     lines.append(
         "From benchmarks/exp_r3.py (PERF.md): the full sync iteration "

@@ -66,6 +66,7 @@ class VertexShardedForce2Vec:
         walk_fetch: str = "auto",
         walk_fetch_cap: Optional[int] = None,
         walk_fetch_slack: float = 1.5,
+        halo_stale: bool = False,
     ):
         self.graph = graph
         self.config = config
@@ -78,6 +79,17 @@ class VertexShardedForce2Vec:
         self.P = self.mesh.shape["vp"]
         self.sampling = sampling
         self.neg_pool = int(neg_pool)
+        # Iteration-pipelined halo exchange (VERDICT r4 #5): issue
+        # iteration i's cold all_to_all / hot all_gather from x_i but
+        # CONSUME the buffers exchanged at iteration i-1 — the collective
+        # has no same-iteration consumer, so XLA's async-collective
+        # machinery can fly it under the whole sweep.  Halo-dependent
+        # slabs then read neighbor rows one iteration stale, which is the
+        # reference's own Hogwild-adjacent cross-batch semantics
+        # (sample/algorithms.cpp:629-639: batch b reads rows batch b-1
+        # already updated); quality-gated in tests.  Walk models have no
+        # standing halo — the flag is ignored there.
+        self.halo_stale = bool(halo_stale) and self.model.attraction != "walk"
         self.lr = config.resolve_lr(self.model)
         self._dtype = jnp.dtype(config.dtype)
 
@@ -427,7 +439,23 @@ class VertexShardedForce2Vec:
                     )
             return acc, jnp.int32(0)
 
-        def iteration(g, x_loc, pool_rows, choice, walks, step):
+        def exchange(g, x_loc):
+            """Issue both exchange tiers; returns (halo [P,H,D], hot [...])."""
+            send = jnp.take(x_loc, g["send_idx"][0], axis=0)  # [P, H, D]
+            hot_mine = jnp.take(x_loc, g["hot_send"][0], axis=0)  # [Hh, D]
+            if Pn > 1:
+                halo = jax.lax.all_to_all(
+                    send, "vp", split_axis=0, concat_axis=0
+                )
+                hot = jax.lax.all_gather(hot_mine, "vp", axis=0, tiled=True)
+            else:
+                halo = send
+                hot = hot_mine
+            return halo, hot
+
+        self._exchange = exchange
+
+        def iteration(g, x_loc, pool_rows, choice, walks, step, prev=None):
             """One epoch-synchronous step on this shard.
 
             Overlap schedule: the hot all_gather and the cold all_to_all
@@ -436,6 +464,12 @@ class VertexShardedForce2Vec:
             on them, so XLA's latency-hiding scheduler computes them while
             the exchange flies; the halo-DEPENDENT slabs read
             ``[x_loc | hot | halo]`` and schedule after it lands.
+
+            ``prev`` (iteration-pipelined mode): the buffers exchanged at
+            the PREVIOUS iteration; this iteration consumes them (one
+            iteration stale) and returns the freshly issued pair — the
+            in-flight collective then has NO consumer anywhere in this
+            iteration, so nothing in the program blocks on it.
 
             For the walk model (rwalk), attraction is the ring schedule of
             :func:`attraction_walk` over injected/driven walk targets.
@@ -451,22 +485,20 @@ class VertexShardedForce2Vec:
             invd0 = jnp.zeros((n_loc,), dtype=x_loc.dtype)
 
             drops = jnp.int32(0)
+            nxt = None
             if model.attraction == "walk":
                 rep = force_sum("sample", x_loc, s, full, invd0, step)
                 aw, drops = attraction_walk(g, x_loc, walks, step)
                 upd = aw + rep
             else:
-                # 1. issue the exchange (both tiers)
-                send = jnp.take(x_loc, g["send_idx"][0], axis=0)  # [P, H, D]
-                hot_mine = jnp.take(x_loc, g["hot_send"][0], axis=0)  # [Hh, D]
-                if Pn > 1:
-                    halo = jax.lax.all_to_all(
-                        send, "vp", split_axis=0, concat_axis=0
-                    )
-                    hot = jax.lax.all_gather(hot_mine, "vp", axis=0, tiled=True)
+                # 1. issue the exchange (both tiers); consume the stale
+                # pair when pipelined
+                cur = exchange(g, x_loc)
+                if prev is None:
+                    halo, hot = cur
                 else:
-                    halo = send
-                    hot = hot_mine
+                    halo, hot = prev
+                    nxt = cur
 
                 # 2. halo-free slabs + repulsion — overlap with the exchange
                 parts = {}
@@ -497,8 +529,12 @@ class VertexShardedForce2Vec:
                 fnorm = jnp.sum(upd * upd, axis=-1, keepdims=True)
                 safe = jnp.where(fnorm > 0, fnorm, 1.0)
                 factor = jnp.where(fnorm > 0, step / jnp.sqrt(safe), 0.0)
-                return x_loc + factor * upd, drops
-            return x_loc + upd, drops
+                xn = x_loc + factor * upd
+            else:
+                xn = x_loc + upd
+            if prev is None:
+                return xn, drops
+            return xn, drops, nxt
 
         return iteration
 
@@ -622,17 +658,42 @@ class VertexShardedForce2Vec:
                 walks = walk_fn(g, jax.random.fold_in(kit, 2))
             return pool_g, choice, walks
 
+        def step_of(it, dtype):
+            if model.lr_schedule == "decay999":
+                return lr * jnp.power(jnp.float32(0.999), it).astype(dtype)
+            return jnp.asarray(lr, dtype=dtype)
+
+        if self.halo_stale:
+            # iteration-pipelined: the exchange issued at iteration i is
+            # consumed at i+1 — prime the carry with x0's exchange so
+            # iteration 0 reads exact buffers
+            def train(g, x_loc, key, num_iters, iter_offset):
+                def body(t, carry):
+                    xc, drop_acc, prev = carry
+                    it = iter_offset + t
+                    pool_g, choice, walks = draw(g, key, it)
+                    rows = pool_fn(xc, pool_g)
+                    xn, drops, nxt = iteration(
+                        g, xc, rows, choice, walks,
+                        step_of(it, xc.dtype), prev=prev)
+                    return xn, drop_acc + drops, nxt
+
+                prev0 = self._exchange(g, x_loc)
+                xn, drop_acc, _ = jax.lax.fori_loop(
+                    0, num_iters, body, (x_loc, jnp.int32(0), prev0)
+                )
+                return xn, drop_acc
+
+            return train
+
         def train(g, x_loc, key, num_iters, iter_offset):
             def body(t, carry):
                 xc, drop_acc = carry
                 it = iter_offset + t
                 pool_g, choice, walks = draw(g, key, it)
                 rows = pool_fn(xc, pool_g)
-                if model.lr_schedule == "decay999":
-                    step = lr * jnp.power(jnp.float32(0.999), it).astype(xc.dtype)
-                else:
-                    step = jnp.asarray(lr, dtype=xc.dtype)
-                xn, drops = iteration(g, xc, rows, choice, walks, step)
+                xn, drops = iteration(
+                    g, xc, rows, choice, walks, step_of(it, xc.dtype))
                 return xn, drop_acc + drops
 
             return jax.lax.fori_loop(

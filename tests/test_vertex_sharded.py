@@ -339,3 +339,40 @@ def test_rwalk_a2a_overflow_counter_detects_drops(small_graph):
     walks = rng.integers(0, g.n, size=(g.n, cfg.walk_length)).astype(np.int32)
     a2a.run_iteration(x, pool, walks=walks)
     assert a2a.walk_overflow_dropped() > 0
+
+
+def test_halo_stale_single_iteration_matches_exact(small_graph):
+    """Iteration-pipelined (stale-halo) mode primes the carry with x0's
+    exchange, so a 1-iteration run is bit-identical to the exact
+    schedule — pins the carry plumbing."""
+    cfg = TrainConfig(dim=DIM, model="tdist", ns=NS, per_vertex_samples=False)
+    mesh = make_vp_mesh(jax.devices()[:4])
+    exact = VertexShardedForce2Vec(small_graph, cfg, mesh=mesh,
+                                   min_width=4, hub_width=16)
+    stale = VertexShardedForce2Vec(small_graph, cfg, mesh=mesh,
+                                   min_width=4, hub_width=16, halo_stale=True)
+    assert stale.halo_stale
+    a = exact.train(iters=1, seed=5)
+    b = stale.train(iters=1, seed=5)
+    np.testing.assert_array_equal(a, b)
+
+
+def test_halo_stale_quality_cora():
+    """Stale-halo semantics (neighbor rows one iteration old — the
+    reference's own cross-batch staleness, algorithms.cpp:629-639) must
+    not break convergence: cora link prediction stays materially above
+    chance and within a few points of the exact schedule."""
+    from force2vec_tpu.eval.linkpred import link_prediction_scores
+    from force2vec_tpu.graphs import read_mtx
+
+    g = read_mtx("/root/reference/datasets/input/cora.mtx")
+    cfg = TrainConfig(dim=32, model="tdist", ns=5)
+    mesh = make_vp_mesh(jax.devices())
+    exact = VertexShardedForce2Vec(g, cfg, mesh=mesh)
+    stale = VertexShardedForce2Vec(g, cfg, mesh=mesh, halo_stale=True)
+    emb_e = exact.train(iters=200, seed=1)
+    emb_s = stale.train(iters=200, seed=1)
+    auc_e = link_prediction_scores(g, emb_e, seed=0)["auc"]
+    auc_s = link_prediction_scores(g, emb_s, seed=0)["auc"]
+    assert auc_s > 0.70, f"stale-halo cora AUC collapsed: {auc_s}"
+    assert auc_s > auc_e - 0.03, f"stale {auc_s} vs exact {auc_e}"
