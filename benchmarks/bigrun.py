@@ -104,8 +104,9 @@ def main():
                        use_pallas=False if args.no_pallas else None,
                        take_group_bytes=args.group_mb * 1024 * 1024)
     layout_s = time.perf_counter() - t0
-    print(f"layout build: {layout_s:.2f}s padded_edges={fv.layout.padded_edges}",
-          flush=True)
+    split = fv.split_stats()
+    print(f"layout build: {layout_s:.2f}s padded_edges={fv.layout.padded_edges} "
+          f"split={split}", flush=True)
 
     def fetch1(arr):
         """Force completion via a 4-byte device-side slice — the remote-TPU
@@ -167,6 +168,7 @@ def main():
         "parser": gio.last_parser,
         "load_seconds": round(load_s, 2),
         "layout_seconds": round(layout_s, 2),
+        "gather_split": split,
         "train": {
             "iters": args.iters,
             "seconds": round(train_s, 2),

@@ -38,51 +38,62 @@ def main():
     from force2vec_tpu.train.sync import SyncForce2Vec
     from force2vec_tpu.train.trainer import TrainConfig
 
-    cfg = TrainConfig(dim=128, model="tdist", ns=5, batch_size=256,
-                      gather_dtype="bfloat16")
-    t0 = time.perf_counter()
-    fv = SyncForce2Vec(graph, cfg, min_width=8, hub_width=128,
-                       take_group_bytes=32 * 2**20)
-    print(f"layout {time.perf_counter()-t0:.1f}s", flush=True)
+    lrs = [float(v) for v in os.environ.get(
+        "DIAG_LRS", "0.02,0.01,0.005,0.0025").split(",")]
+    base = TrainConfig(dim=128, model="tdist", ns=5, batch_size=256,
+                       gather_dtype="bfloat16")
 
-    x = fv.init_embedding(seed=1)
-    key = jax.random.PRNGKey(1)
-    span = 20
-    x = fv._train_jit(fv._garr, x, key, span, 0)
-    done = span
-    while done < iters:
-        k = min(span, iters - done)
-        x = fv._train_jit(fv._garr, x, key, k, done)
-        done += k
-
+    sub_nodes = np.sort(np.random.default_rng(12345).choice(
+        graph.n, size=es, replace=False))
+    sub = graph.induced_subgraph(sub_nodes)
     take = jax.jit(lambda x, i: jnp.take(x, i, axis=0))
-    for mode in ("first", "random"):
-        if mode == "first":
-            sub_nodes = np.arange(es)
+
+    fv = None
+    for lr in lrs:
+        cfg = TrainConfig(dim=128, model="tdist", ns=5, batch_size=256,
+                          gather_dtype="bfloat16", lr=lr)
+        t0 = time.perf_counter()
+        if fv is None:
+            fv = SyncForce2Vec(graph, cfg, min_width=8, hub_width=128,
+                               take_group_bytes=32 * 2**20)
+            print(f"layout {time.perf_counter()-t0:.1f}s", flush=True)
         else:
-            sub_nodes = np.sort(np.random.default_rng(12345).choice(
-                graph.n, size=es, replace=False))
+            fv.config = cfg
+            fv.lr = cfg.resolve_lr(fv.model)
+        # the train fn closes over fv.lr at build time — rebuild the
+        # dispatcher for this lr (big-graph path: garr as jit arguments)
+        from force2vec_tpu.train.trainer import make_train_dispatcher
+
+        train = fv._build_train_fn()
+        fv._train_jit = make_train_dispatcher(
+            lambda k, train=train: jax.jit(
+                lambda g, x, key, off: train(g, x, key, k, off)))
+
+        x = fv.init_embedding(seed=1)
+        key = jax.random.PRNGKey(1)
+        span = 20
+        x = fv._train_jit(fv._garr, x, key, span, 0)
+        done = span
+        while done < iters:
+            k = min(span, iters - done)
+            x = fv._train_jit(fv._garr, x, key, k, done)
+            done += k
+
         idx_rel = jnp.asarray(fv.layout.inv_perm[sub_nodes], jnp.int32)
         emb = np.asarray(take(x, idx_rel))
-        sub = graph.induced_subgraph(sub_nodes)
         norms = np.linalg.norm(emb, axis=1)
-        # geometry: edge vs random-pair distance inside the subset
         rng = np.random.default_rng(0)
-        if sub.nnz:
-            src = np.repeat(np.arange(sub.n), np.diff(sub.rowptr))
-            samp = rng.choice(sub.nnz, size=min(20000, sub.nnz), replace=False)
-            d_edge = np.linalg.norm(
-                emb[src[samp]] - emb[sub.colids[samp]], axis=1).mean()
-        else:
-            d_edge = float("nan")
+        src = np.repeat(np.arange(sub.n), np.diff(sub.rowptr))
+        samp = rng.choice(sub.nnz, size=min(20000, sub.nnz), replace=False)
+        d_edge = np.linalg.norm(
+            emb[src[samp]] - emb[sub.colids[samp]], axis=1).mean()
         a, b = rng.integers(0, es, 20000), rng.integers(0, es, 20000)
         d_rand = np.linalg.norm(emb[a] - emb[b], axis=1).mean()
-        t0 = time.perf_counter()
         scores = link_prediction_scores(sub, emb, seed=0)
-        print(f"[{mode}] sub_nnz={sub.nnz} norm_mean={norms.mean():.3f} "
+        print(f"[lr={lr} iters={iters}] norm_mean={norms.mean():.3f} "
               f"d_edge={d_edge:.3f} d_rand={d_rand:.3f} "
-              f"scores={ {k: round(v,4) for k,v in scores.items()} } "
-              f"({time.perf_counter()-t0:.0f}s)", flush=True)
+              f"scores={ {k: round(v,4) for k,v in scores.items()} }",
+              flush=True)
 
 
 if __name__ == "__main__":

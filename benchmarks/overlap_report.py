@@ -135,7 +135,7 @@ def main():
     sharded = jax.shard_map(
         lambda g, xl, pg, s: fv._iteration(
             g, xl, fv._build_pool_fn()(xl, pg), None, None, s
-        ),
+        )[0],
         mesh=fv.mesh,
         in_specs=(fv._gspecs, fv.x_spec, P(), P()),
         out_specs=fv.x_spec,
@@ -182,7 +182,7 @@ def main():
         # re-run the normal iteration but with the pre-exchanged tensors
         # (the exchange inside re-issues, but it now starts after the
         # barrier, so nothing overlaps it on a scheduled backend)
-        return fv._iteration(g, xl, rows, None, None, s)
+        return fv._iteration(g, xl, rows, None, None, s)[0]
 
     fs = jax.jit(
         jax.shard_map(

@@ -192,25 +192,35 @@ def _split_hot(nbr: np.ndarray, dg: np.ndarray, w: int, hot_start: int,
     cdeg[deg_pos] = dg_cold
     hdeg[deg_pos] = hot_ct
 
+    # element-level index arrays are the memory-traffic hot spot at
+    # com-Orkut scale (~200M cold slots); int32 positions halve that
+    # traffic and are safe whenever the flats fit int32 (guarded)
+    idt = (np.int32 if max(cold_offs[-1], hot_offs[-1], cnt_rows) < 2**31
+           else np.int64)
+
+    def elem_index(lens):
+        """(row_rep, k): per-element row id and within-row rank for the
+        ragged stream with ``lens[row]`` elements per row."""
+        tot = int(lens.sum())
+        cum = np.cumsum(lens, dtype=np.int64)
+        row_rep = np.repeat(np.arange(cnt_rows, dtype=idt), lens)
+        k = (np.arange(tot, dtype=idt)
+             - np.repeat((cum - lens).astype(idt), lens))
+        return row_rep, k
+
     cold_flat = np.zeros(int(cold_offs[-1]), dtype=np.int32)
-    tot_c = int(dg_cold.sum())
-    if tot_c:
-        lens = dg_cold.astype(np.int64)
-        row_rep = np.repeat(np.arange(cnt_rows), lens)
-        k = np.arange(tot_c) - np.repeat(np.cumsum(lens) - lens, lens)
-        base = cold_offs[run_id] + local * wcs[run_id]
-        cold_flat[np.repeat(base, lens) + k] = packed[row_rep, k]
+    if int(dg_cold.sum()):
+        row_rep, k = elem_index(dg_cold)
+        base = (cold_offs[run_id] + local * wcs[run_id]).astype(idt)
+        cold_flat[np.repeat(base, dg_cold) + k] = packed[row_rep, k]
 
     hot_flat = np.zeros(int(hot_offs[-1]), dtype=np.int32)
-    tot_h = int(hot_ct.sum())
-    if tot_h:
-        lens = hot_ct.astype(np.int64)
-        row_rep = np.repeat(np.arange(cnt_rows), lens)
-        k = np.arange(tot_h) - np.repeat(np.cumsum(lens) - lens, lens)
-        base = hot_offs[run_id] + local * whs[run_id]
+    if int(hot_ct.sum()):
+        row_rep, k = elem_index(hot_ct)
+        base = (hot_offs[run_id] + local * whs[run_id]).astype(idt)
         # hot slots sit in the LAST hot_ct columns of the packed row
-        src_col = (w - np.repeat(lens, lens)) + k
-        hot_flat[np.repeat(base, lens) + k] = (
+        src_col = (w - np.repeat(hot_ct, hot_ct).astype(idt)) + k
+        hot_flat[np.repeat(base, hot_ct) + k] = (
             packed[row_rep, src_col] - hot_start)
 
     spans = [
@@ -348,13 +358,16 @@ class SyncLayout:
             """Vectorized ELL fill: [len(rows), width] relabeled neighbor ids
             (0-padded) + per-row valid counts, for relabeled rows ``rows``
             whose degrees are all ≤ width."""
-            lens = deg_sorted[rows].astype(np.int64)
+            lens = deg_sorted[rows]
             total = int(lens.sum())
             nbr = np.zeros((len(rows), width), dtype=np.int32)
             dg = lens.astype(np.int32)
             if total:
-                row_of = np.repeat(np.arange(len(rows)), lens)
-                within = np.arange(total) - np.repeat(np.cumsum(lens) - lens, lens)
+                it = np.int32 if total < 2**31 else np.int64
+                cum = np.cumsum(lens, dtype=np.int64)
+                row_of = np.repeat(np.arange(len(rows), dtype=it), lens)
+                within = (np.arange(total, dtype=it)
+                          - np.repeat((cum - lens).astype(it), lens))
                 flat = graph.rowptr[perm[rows]][row_of] + within
                 nbr[row_of, within] = inv_perm[graph.colids[flat]]
             return nbr, dg
@@ -389,8 +402,8 @@ class SyncLayout:
             # hot membership per ORIGINAL id (invariant under reorder)
             hot_member = np.zeros(n, dtype=bool)
             hot_member[perm[hot_start:]] = True
-            hot_edge = hot_member[graph.colids].astype(np.int64)
-            cs = np.concatenate([[0], np.cumsum(hot_edge)])
+            cs = np.concatenate(
+                [[0], np.cumsum(hot_member[graph.colids], dtype=np.int64)])
             hot_cnt_orig = cs[graph.rowptr[1:]] - cs[graph.rowptr[:-1]]
             for _, bi_, bj_ in bounds:
                 h = hot_cnt_orig[perm[bi_:bj_]]

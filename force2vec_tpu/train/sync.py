@@ -180,6 +180,30 @@ class SyncForce2Vec:
                 lambda k: jax.jit(lambda g, x, key, off: train(g, x, key, k, off))
             )
 
+    def split_stats(self) -> dict:
+        """Hot/cold gather-split accounting (PERF.md §7.6): how many padded
+        slots each gather stream serves per iteration, so artifacts can
+        show the split ACTIVE rather than assert it (VERDICT r4 #4)."""
+        lay = self.layout
+        hot = cold = rect = 0
+        for b in lay.buckets:
+            if b.hot_spans is None:
+                rect += b.count * b.width
+                continue
+            for sp in b.hot_spans:
+                hot += sp.rows_pad * sp.width
+                cold += sp.rows_pad * sp.cold_width
+        total = hot + cold + rect
+        return {
+            "hot_rows": self.hot_rows,
+            "hot_start": lay.hot_start,
+            "hot_slots_per_iter": hot,
+            "cold_slots_per_iter": cold + rect,
+            "hot_fraction": round(hot / total, 4) if total else 0.0,
+            "spans": sum(len(b.hot_spans) for b in lay.buckets
+                         if b.hot_spans),
+        }
+
     # -- embedding layout ---------------------------------------------------
 
     def init_embedding(self, seed: int = 1) -> jnp.ndarray:
