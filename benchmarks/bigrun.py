@@ -21,17 +21,46 @@ sys.path.insert(0, REPO)
 import numpy as np
 
 
-def synth_big(n, avg_deg, seed=7, path="/tmp/bigrun.mtx"):
+def synth_big(n, avg_deg, seed=7, path="/tmp/bigrun.mtx", structure="powerlaw"):
     """Power-law graph at com-Youtube scale, written as a symmetric .mtx
-    (exercises the native mmap+OpenMP parser end-to-end)."""
+    (exercises the native mmap+OpenMP parser end-to-end).
+
+    ``structure='communities'`` plants power-law-SIZED communities under
+    the same degree skew (60% of stubs close inside the community, 40%
+    follow the global power-law): the com-* datasets the reference
+    benchmarks are community graphs (SNAP ground-truth-community family),
+    and link prediction on a structureless uniform-mixing graph measures
+    only degree, which bounds AUC regardless of the embedder."""
     if os.path.exists(path):
         return path
     rng = np.random.default_rng(seed)
     m = n * avg_deg // 2
     w = (np.arange(n, dtype=np.float64) + 1.0) ** -0.5
     w /= w.sum()
-    src = rng.integers(0, n, size=m, dtype=np.int64)
-    dst = rng.choice(n, size=m, p=w).astype(np.int64)
+    if structure == "communities":
+        # community sizes ~ Zipf over ~n/1000 communities; membership by
+        # contiguous id ranges AFTER a global id scramble (so vertex id
+        # carries no information, matching arbitrary real-world ids)
+        n_comm = max(n // 1000, 1)
+        cw = (np.arange(n_comm, dtype=np.float64) + 1.0) ** -0.7
+        cw /= cw.sum()
+        comm_of = np.sort(rng.choice(n_comm, size=n, p=cw))
+        # global scramble: maps "structured id" -> public id
+        scramble = rng.permutation(n).astype(np.int64)
+        starts = np.searchsorted(comm_of, np.arange(n_comm))
+        ends = np.searchsorted(comm_of, np.arange(n_comm), side="right")
+        m_intra = int(m * 0.6)
+        src_i = rng.integers(0, n, size=m_intra, dtype=np.int64)
+        c = comm_of[src_i]
+        span = np.maximum(ends[c] - starts[c], 1)
+        dst_i = starts[c] + rng.integers(0, 1 << 62, size=m_intra) % span
+        src_g = rng.integers(0, n, size=m - m_intra, dtype=np.int64)
+        dst_g = rng.choice(n, size=m - m_intra, p=w).astype(np.int64)
+        src = scramble[np.concatenate([src_i, src_g])]
+        dst = scramble[np.concatenate([dst_i, dst_g])]
+    else:
+        src = rng.integers(0, n, size=m, dtype=np.int64)
+        dst = rng.choice(n, size=m, p=w).astype(np.int64)
     keep = src != dst
     src, dst = src[keep], dst[keep]
     lo = np.minimum(src, dst) + 1
@@ -76,9 +105,22 @@ def main():
                     help="take-group size (MB); measured best at 1.5M-node "
                     "scale (122.7 M up/s at 32 MB vs 115.6 at 128 MB)")
     ap.add_argument("--mtx", default="/tmp/bigrun.mtx")
+    ap.add_argument("--structure", default="powerlaw",
+                    choices=["powerlaw", "communities"])
+    ap.add_argument("--model", default="tdist",
+                    choices=["tdist", "sigmoid", "rwalk"],
+                    help="force model (reference options 5/11, 6/9, 7/10); "
+                    "rwalk covers the BASELINE Flickr config")
+    ap.add_argument("--lr", type=float, default=None,
+                    help="override the model default (reference -lr flag); "
+                    "attraction strength scales with avg degree, so dense "
+                    "graphs (com-Orkut deg ~78) need a smaller step than "
+                    "the deg-34 Youtube config")
+    ap.add_argument("--iters-warm", type=int, default=0, help=argparse.SUPPRESS)
     args = ap.parse_args()
 
-    path = synth_big(args.n, args.deg, path=args.mtx)
+    path = synth_big(args.n, args.deg, path=args.mtx,
+                     structure=args.structure)
     size_mb = os.path.getsize(path) / 1e6
 
     from force2vec_tpu.graphs import io as gio
@@ -97,8 +139,8 @@ def main():
     from force2vec_tpu.train.sync import SyncForce2Vec
     from force2vec_tpu.train.trainer import TrainConfig
 
-    cfg = TrainConfig(dim=128, model="tdist", ns=5, batch_size=256,
-                      gather_dtype="bfloat16")
+    cfg = TrainConfig(dim=128, model=args.model, ns=5, batch_size=256,
+                      gather_dtype="bfloat16", lr=args.lr)
     t0 = time.perf_counter()
     fv = SyncForce2Vec(graph, cfg, min_width=8, hub_width=128,
                        use_pallas=False if args.no_pallas else None,
@@ -131,7 +173,10 @@ def main():
     fetch1(x)
     train_s = time.perf_counter() - t0
     train_s *= args.iters / max(args.iters - span, 1)  # scale for warmup span
-    ups = (graph.nnz + graph.n * cfg.ns) * args.iters / train_s
+    upd_per_iter = (
+        graph.n * cfg.walk_length if args.model == "rwalk" else graph.nnz
+    ) + graph.n * cfg.ns
+    ups = upd_per_iter * args.iters / train_s
     print(f"train: {args.iters} iters in {train_s:.1f}s = {ups/1e6:.1f} M updates/s",
           flush=True)
 
@@ -175,6 +220,9 @@ def main():
             "m_updates_per_s": round(ups / 1e6, 2),
             "schedule": "sync",
             "dim": 128,
+            "model": args.model,
+            "lr": cfg.resolve_lr(fv.model),
+            "structure": args.structure,
         },
         "eval": {"subsample": args.eval_size, "rows": args.eval_rows,
                  **{k: round(v, 4) for k, v in scores.items()}},
