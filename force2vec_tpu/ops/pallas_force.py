@@ -25,6 +25,7 @@ gather engine.
 from __future__ import annotations
 
 import functools
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -42,11 +43,19 @@ from force2vec_tpu.models.forces import ForceModel
 import os as _os
 
 _TILE_BYTES = int(_os.environ.get("F2V_PALLAS_TILE_BYTES", 512 * 1024))
+# The MXU sweep kernel runs lighter on VMEM temporaries than the
+# elementwise kernel (its per-pair scalars live in [G, 8, W] blocks, not
+# [T, K, D] vectors) and starves at the 512 KB tile: the r5 chip scan
+# (PERF.md §8.2, benchmarks/exp_r5.py iterv5) measured the bench config
+# at 6.6-7.2 ms/iter with 2 MB tiles vs 8.0 ms at 512 KB.
+_TILE_BYTES_MXU = int(_os.environ.get("F2V_PALLAS_TILE_BYTES_MXU",
+                                      2 * 1024 * 1024))
 
 
-def _tile_rows(k: int, d: int, itemsize: int) -> int:
+def _tile_rows(k: int, d: int, itemsize: int,
+               tile_bytes: Optional[int] = None) -> int:
     k_pad = -(-k // 8) * 8  # sublane-rounded K as Mosaic lays it out
-    t = _TILE_BYTES // max(k_pad * d * 4, 1)
+    t = (tile_bytes or _TILE_BYTES) // max(k_pad * d * 4, 1)
     t = max(8, min(1024, t))
     return (t // 8) * 8
 
@@ -215,7 +224,7 @@ def ell_force_mxu(model: ForceModel, xi, xj, deg, invd, step,
     """
     c, k, d = xj.shape
     r = group_rows
-    t = _tile_rows(k, d, xj.dtype.itemsize)
+    t = _tile_rows(k, d, xj.dtype.itemsize, tile_bytes=_TILE_BYTES_MXU)
     # whole R-row groups per tile
     t = max(r, (t // r) * r)
     grid = (pl.cdiv(c, t),)
