@@ -212,9 +212,10 @@ def _mxu_kernel(model: ForceModel, k: int, r: int,
 
 
 @functools.partial(jax.jit, static_argnames=("model", "interpret",
-                                              "group_rows"))
+                                              "group_rows", "tile_bytes"))
 def ell_force_mxu(model: ForceModel, xi, xj, deg, invd, step,
-                  interpret: bool = False, group_rows: int = 8):
+                  interpret: bool = False, group_rows: int = 8,
+                  tile_bytes: Optional[int] = None):
     """MXU-path masked edge-force sum over an ELL bucket (same contract as
     :func:`ell_force` with kind='edge'); requires ``model.edge_coeff``.
 
@@ -224,7 +225,8 @@ def ell_force_mxu(model: ForceModel, xi, xj, deg, invd, step,
     """
     c, k, d = xj.shape
     r = group_rows
-    t = _tile_rows(k, d, xj.dtype.itemsize, tile_bytes=_TILE_BYTES_MXU)
+    t = _tile_rows(k, d, xj.dtype.itemsize,
+                   tile_bytes=tile_bytes or _TILE_BYTES_MXU)
     # whole R-row groups per tile
     t = max(r, (t // r) * r)
     grid = (pl.cdiv(c, t),)

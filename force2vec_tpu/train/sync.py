@@ -302,8 +302,16 @@ class SyncForce2Vec:
                 ):
                     # separable-form MXU sweep: dots/norms/aggregation ride
                     # the MXU, killing the per-slot lane reduction that
-                    # bounds the elementwise kernel (PERF.md §7)
-                    return ell_force_mxu(model, xi, xj, dg, invd, step)
+                    # bounds the elementwise kernel (PERF.md §7).  With a
+                    # hot/cold split layout the 2 MB tile faulted the TPU
+                    # worker at com-Orkut scale (kernel fault on the flat
+                    # split pieces; big graphs are cold-gather-bound so the
+                    # tile is throughput-neutral there — both sizes measure
+                    # 114.5 M up/s) — keep the proven 512 KB tile when
+                    # split pieces exist (PERF.md §8.2).
+                    mxu_tb = 512 * 1024 if hot_start is not None else None
+                    return ell_force_mxu(model, xi, xj, dg, invd, step,
+                                         tile_bytes=mxu_tb)
                 return ell_force(model, kind, xi, xj, dg, invd, step)
             if xj.dtype != xi.dtype:  # low-precision gather replica
                 xj = xj.astype(xi.dtype)
