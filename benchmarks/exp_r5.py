@@ -283,6 +283,71 @@ def exp_iterv5():
                                         512 * 1024))
 
 
+
+
+def exp_walks5():
+    """Decompose the rwalk iteration: the bench measured 94.9 ms/iter
+    (13.8 M up/s, 4.4% of roofline) where tdist at the same graph runs
+    7.4 ms.  Suspect: the per-iteration walk ENGINE (train/sync.py
+    _ell_walks — a wl-step scan whose neighbor lookup where-chains over
+    every bucket table), not the force sweep over walk targets."""
+    import jax
+    import jax.numpy as jnp
+
+    from bench import synth_powerlaw_graph
+    from force2vec_tpu.train.sync import SyncForce2Vec, _ell_walks
+    from force2vec_tpu.train.trainer import TrainConfig
+
+    fence = _fence_fn(jax, jnp)
+    graph = synth_powerlaw_graph()
+    cfg = TrainConfig(dim=128, model="rwalk", ns=5, batch_size=256,
+                      gather_dtype="bfloat16")
+    fv = SyncForce2Vec(graph, cfg, min_width=8, hub_width=128)
+    key = jax.random.PRNGKey(1)
+    n_pad = fv.layout.n_pad
+
+    def make_walks_only(loops):
+        @jax.jit
+        def run():
+            def body(i, c):
+                w = _ell_walks(fv._garr, fv.layout,
+                               jax.random.fold_in(key, i), cfg.walk_length)
+                return c + w[0, 0]
+            return jax.lax.fori_loop(0, loops, body, jnp.int32(0))
+        return run
+
+    x = fv.init_embedding(seed=1)
+    negs = jax.random.randint(jax.random.PRNGKey(3),
+                              (-(-n_pad // 256), 5), 0, graph.n - 1,
+                              jnp.int32)
+    walks0 = jax.random.randint(jax.random.PRNGKey(4), (n_pad, 5), 0,
+                                graph.n, jnp.int32)
+
+    def make_iter_injected(loops):
+        @jax.jit
+        def run():
+            def body(i, xc):
+                return fv._iteration(fv._garr, xc, negs, walks0,
+                                     jnp.float32(0.02) + 1e-12 * i)
+            return jax.lax.fori_loop(0, loops, body, x)
+        return run
+
+    def make_full(loops):
+        def run():
+            return fv._train_jit(fv._garr, x, key, loops, 0)
+        return run
+
+    for name, mk, spans in [("walks_only", make_walks_only, (3, 13)),
+                            ("iter_injected_walks", make_iter_injected, (3, 13)),
+                            ("full_train", make_full, (3, 13))]:
+        try:
+            sec = slope_time(fence, mk, spans=spans, reps=2)
+            report("walks5", variant=name, ms=round(sec * 1e3, 3))
+        except Exception as e:
+            report("walks5", variant=name,
+                   error=f"{type(e).__name__}: {str(e)[:200]}")
+
+
 if __name__ == "__main__":
     which = sys.argv[1] if len(sys.argv) > 1 else "pipe5"
     globals()[f"exp_{which}"]()

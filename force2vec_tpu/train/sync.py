@@ -152,6 +152,9 @@ class SyncForce2Vec:
                 garr[f"first_vrow{bi}"] = jnp.asarray(first)
         if self.model.attraction == "walk":
             garr["deg_all"] = jnp.asarray(lay.deg)
+            pool, base = _build_walk_tables(lay)
+            garr["walk_pool"] = jnp.asarray(pool)
+            garr["walk_base"] = jnp.asarray(base)
         self._garr = garr
 
         from force2vec_tpu.train.trainer import make_train_dispatcher
@@ -743,46 +746,51 @@ class SyncForce2Vec:
         return out
 
 
+def _build_walk_tables(lay: SyncLayout):
+    """(pool, base): flat neighbor pool (every bucket's ELL rectangle,
+    concatenated) + per-relabeled-row base offset so that the walk step's
+    (vertex, slot) -> neighbor lookup is ``pool[base[v] + slot]``.
+
+    Exact for hubs too: an owner's virtual rows are CONSECUTIVE and each
+    holds ``width`` slots, so ``vrow*width + col == first_vrow*width +
+    slot`` — the flat pool linearizes the whole CSR row.  Requires the
+    plain (unsplit) layout; walk models build with hot_rows=0.
+
+    Why: the previous per-step lookup where-chained a gather over every
+    bucket table (~15 two-index gathers per step); measured on-chip it
+    made the walk engine 90 ms of the 95 ms rwalk iteration (PERF.md
+    §8.3).  One 1-D gather per step replaces all of it.
+    """
+    assert lay.hot_start is None, "walk tables need the unsplit layout"
+    base = np.zeros(lay.n_pad, dtype=np.int64)
+    pools = []
+    off = 0
+    for b in lay.buckets:
+        pools.append(b.nbr.reshape(-1))
+        if b.owners is None:
+            rows = np.arange(b.count, dtype=np.int64)
+            base[b.start + rows] = off + rows * b.width
+        else:
+            # first virtual row per owner (owners' vrows are consecutive)
+            u, idx = np.unique(b.owners, return_index=True)
+            base[u] = off + idx.astype(np.int64) * b.width
+        off += b.nbr.size
+    pool = (np.concatenate(pools) if pools
+            else np.zeros(1, dtype=np.int32)).astype(np.int32)
+    return pool, base.astype(np.int32)
+
+
 def _ell_walks(garr, lay: SyncLayout, key, walk_length: int):
     """Vectorized L-step uniform walks over the bucketed ELL adjacency
-    (relabeled space).  Each step: draw a slot, look up the neighbor table
-    of the bucket the frontier vertex lives in.
-
-    Implemented by materializing a width-capped row table once per step via
-    per-bucket gathers; stay-in-place for degree-0 rows (divergence from
-    the reference's quirky deg<2 path documented in sampling/walks.py).
-    """
+    (relabeled space).  Each step: draw a slot in [0, deg), then ONE flat
+    gather ``pool[base[v] + slot]`` (see :func:`_build_walk_tables`);
+    stay-in-place for degree-0 rows (divergence from the reference's
+    quirky deg<2 path documented in sampling/walks.py)."""
     n_pad = lay.n_pad
     start = jnp.arange(n_pad, dtype=jnp.int32)
-
-    # Per-vertex degree (valid neighbor count) and a function mapping
-    # (vertex, slot) -> neighbor id, built from bucket tables.
-    def neighbor_of(v, slot):
-        # v: [n] relabeled ids; slot: [n] in [0, deg)
-        out = jnp.zeros_like(v)
-        for bi, b in enumerate(lay.buckets):
-            nbr = garr[f"nbr{bi}"]
-            if b.owners is None:
-                in_b = (v >= b.start) & (v < b.start + b.count)
-                local = jnp.clip(v - b.start, 0, b.count - 1)
-                got = nbr[local, jnp.clip(slot, 0, b.width - 1)]
-                out = jnp.where(in_b, got, out)
-            else:
-                # hub rows: first virtual row covers slots [0, width)
-                # (slots are drawn mod deg, deg > width possible: wrap to
-                # the right virtual row via owner offsets)
-                in_b = v >= b.start
-                # map (owner, slot) -> virtual row: vrow = first_vrow[owner] + slot // width
-                # first_vrow per owner: precomputed on host
-                first = garr[f"first_vrow{bi}"]
-                local = jnp.clip(v - b.start, 0, first.shape[0] - 1)
-                vrow = first[local] + slot // b.width
-                vrow = jnp.clip(vrow, 0, b.count - 1)
-                got = nbr[vrow, jnp.clip(slot % b.width, 0, b.width - 1)]
-                out = jnp.where(in_b, got, out)
-        return out
-
     deg = garr["deg_all"]
+    pool = garr["walk_pool"]
+    base = garr["walk_base"]
 
     def step_fn(carry, step_key):
         w = carry
@@ -791,7 +799,7 @@ def _ell_walks(garr, lay: SyncLayout, key, walk_length: int):
         )
         d = jnp.take(deg, w)
         slot = r % jnp.maximum(d, 1)
-        nxt = neighbor_of(w, slot)
+        nxt = jnp.take(pool, jnp.take(base, w) + slot)
         nxt = jnp.where(d > 0, nxt, w)
         return nxt, nxt
 

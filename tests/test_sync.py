@@ -306,3 +306,34 @@ def test_split_hot_vectorized_matches_loop_reference():
         np.testing.assert_array_equal(got[2], ref[2], err_msg=f"hdeg {trial}")
         np.testing.assert_array_equal(got[3], ref[3], err_msg=f"hot {trial}")
         assert got[4] == ref[4], f"spans differ (trial {trial})"
+
+
+def test_ell_walks_land_on_neighbors(small_graph):
+    """Every walk step's target must be a real neighbor of the previous
+    position (or the position itself for degree-0 rows) — validates the
+    flat pool+base lookup (r5 rewrite of the per-bucket where-chain,
+    PERF.md §8.3) against the CSR adjacency."""
+    import jax
+
+    from force2vec_tpu.train.sync import _ell_walks
+
+    g = small_graph
+    fv = SyncForce2Vec(g, TrainConfig(dim=8, model="rwalk", ns=2),
+                       min_width=4, hub_width=8)
+    lay = fv.layout
+    w = np.asarray(_ell_walks(fv._garr, lay, jax.random.PRNGKey(3), 4))
+    assert w.shape == (lay.n_pad, 4)
+    nbrs = {}  # relabeled adjacency
+    src = np.repeat(np.arange(g.n), g.degrees)
+    for s, d in zip(lay.inv_perm[src], lay.inv_perm[g.colids]):
+        nbrs.setdefault(int(s), set()).add(int(d))
+    cur = np.arange(lay.n_pad)
+    for step in range(4):
+        for v in range(lay.n_pad):
+            prev = int(cur[v])
+            got = int(w[v, step])
+            if prev < g.n and nbrs.get(prev):
+                assert got in nbrs[prev], (v, step, prev, got)
+            else:
+                assert got == prev  # deg-0 / padding stays put
+        cur = w[:, step]
