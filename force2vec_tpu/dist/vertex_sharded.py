@@ -117,6 +117,7 @@ class VertexShardedForce2Vec:
             garr["gmap"] = jnp.asarray(lay.gmap)  # [P, table_len]
             garr["deg_all"] = jnp.asarray(lay.deg_loc)  # [P, n_loc]
             hub = lay.buckets[-1] if lay.buckets[-1].owners is not None else None
+            first = None
             if hub is not None:
                 # first virtual row per hub owner offset (owners' vrows are
                 # consecutive per shard) — the walk engine's hub lookup
@@ -125,6 +126,28 @@ class VertexShardedForce2Vec:
                     u, idx = np.unique(hub.owners[p], return_index=True)
                     first[p, u] = idx.astype(np.int32)
                 garr["first_vrow"] = jnp.asarray(first)
+            # flat-pool walk tables (one gather per step instead of a
+            # per-bucket where-chain — the sync engine's r5 rewrite,
+            # PERF.md §8.3): pool = every bucket rectangle concatenated,
+            # base[p, lr] = flat offset of local row lr's slot 0.  Exact
+            # for hubs (consecutive virtual rows linearize the CSR row).
+            pool = np.concatenate(
+                [b.nbr.reshape(self.P, -1) for b in lay.buckets], axis=1)
+            base = np.zeros((self.P, lay.n_loc), dtype=np.int64)
+            off = 0
+            for b in lay.buckets:
+                if b.owners is None:
+                    rows = np.arange(b.count, dtype=np.int64)
+                    base[:, b.start_local + rows] = off + rows * b.width
+                else:
+                    rc = max(b.real_count, 1)
+                    cols = b.start_local + np.arange(rc, dtype=np.int64)
+                    cols = np.minimum(cols, lay.n_loc - 1)
+                    base[np.arange(self.P)[:, None], cols[None, :]] = (
+                        off + first[:, :rc].astype(np.int64) * b.width)
+                off += b.count * b.width
+            garr["walk_pool"] = jnp.asarray(pool.astype(np.int32))
+            garr["walk_base"] = jnp.asarray(base.astype(np.int32))
         if self.model.attraction == "walk":
             # Walk-target embedding fetch mode.  'ring' rotates the full
             # local table P-1 times: (P-1)·n_loc rows/iter/shard regardless
@@ -555,29 +578,12 @@ class VertexShardedForce2Vec:
         wl = cfg.walk_length
 
         def neighbor_of_local(g, lr, slot):
-            """remapped-neighbor id of (local row lr, slot) on this shard."""
-            out = jnp.zeros_like(lr)
-            for bi, b in enumerate(lay.buckets):
-                nbr = g[f"nbr{bi}"][0]
-                flat = nbr.reshape(-1)
-                if b.owners is None:
-                    in_b = (lr >= b.start_local) & (lr < b.start_local + b.count)
-                    local = jnp.clip(lr - b.start_local, 0, b.count - 1)
-                    got = jnp.take(
-                        flat, local * b.width + jnp.clip(slot, 0, b.width - 1)
-                    )
-                else:
-                    in_b = lr >= b.start_local
-                    first = g["first_vrow"][0]
-                    local = jnp.clip(lr - b.start_local, 0, first.shape[0] - 1)
-                    vrow = jnp.clip(
-                        jnp.take(first, local) + slot // b.width, 0, b.count - 1
-                    )
-                    got = jnp.take(
-                        flat, vrow * b.width + jnp.clip(slot % b.width, 0, b.width - 1)
-                    )
-                out = jnp.where(in_b, got, out)
-            return out
+            """remapped-neighbor id of (local row lr, slot) on this shard:
+            one flat-pool gather (see walk_pool/walk_base in __init__)."""
+            pos = jnp.take(g["walk_base"][0],
+                           jnp.clip(lr, 0, n_loc - 1)) + slot
+            pool = g["walk_pool"][0]
+            return jnp.take(pool, jnp.clip(pos, 0, pool.shape[0] - 1))
 
         def walks(g, key):
             rank = jax.lax.axis_index("vp") if Pn > 1 else 0
