@@ -36,6 +36,7 @@ def main():
     ap.add_argument("--roof-pct", type=float, required=True)
     ap.add_argument("--vs32", type=float, required=True)
     ap.add_argument("--vs2t", type=float, required=True)
+    ap.add_argument("--vs-realistic", type=float, default=None)
     ap.add_argument("--bench-tag", default="BENCH_r03")
     args = ap.parse_args()
 
@@ -69,16 +70,27 @@ def main():
         "tpu_mups_per_chip": args.mups,
         "gather_roofline_pct": args.roof_pct,
         "vs_32t_extrapolated_avx512": args.vs32,
+        "vs_realistic_32t_bw_capped": args.vs_realistic,
         "vs_2t_measured_host": args.vs2t,
         "bench_artifact": args.bench_tag,
+        "per_model_chip_bench": "BENCH_MODELS_r05.json",
         "cora_opt5_linkpred_auc": {
             "golden_reference": round(g_sc["auc"], 4),
             "ours": round(o_sc["auc"], 4),
         },
         "pubmed_sigmoid_linkpred_auc": round(p_sc["auc"], 4),
-        "big_graph_artifact": "BIGRUN.json",
+        "big_graph_artifacts": {
+            "com-Youtube": "BIGRUN_youtube.json",
+            "com-Orkut": "BIGRUN_orkut.json",
+            "Flickr_rwalk": "BIGRUN_flickr.json (incl. C++-reference parity cross-check)",
+            "Flickr_tdist": "BIGRUN_flickr_tdist.json",
+        },
         "scaling_artifact": "SCALING.json (8-device virtual CPU mesh; this image has 1 real chip)",
-        "notes": "vs_32t is the reference option-11 AVX512 rate measured on this 2-core host, linearly extrapolated to 32 threads (overstates the CPU; see baselines/cpu_reference.json)",
+        "notes": ("vs_32t is the reference option-11 AVX512 rate measured "
+                  "on this 2-core host, linearly extrapolated to 32 threads "
+                  "(overstates the CPU); vs_realistic divides by the "
+                  "bandwidth-capped 32-thread model (250 M up/s) — see "
+                  "baselines/cpu_reference.json"),
     }
     with open(path, "w") as f:
         json.dump(base, f, indent=2)

@@ -73,6 +73,15 @@ def build_parser() -> argparse.ArgumentParser:
         "-bs 1 requests per-vertex negatives",
     )
     p.add_argument(
+        "--halo-stale",
+        action="store_true",
+        help="vertex schedule: iteration-pipelined halo exchange — consume "
+        "the buffers exchanged at the previous iteration so the in-flight "
+        "collective has no same-iteration consumer (one-iteration-stale "
+        "neighbor rows; the reference's own cross-batch semantics).  "
+        "Quality-gated on cora; see OVERLAP.md §2b",
+    )
+    p.add_argument(
         "--coordinator",
         default=None,
         help="multi-host: coordinator address host:port (or set "
@@ -170,7 +179,7 @@ def main(argv=None) -> int:
         sampling = "pool" if args.bs == 1 else "shared"
         runner = VertexShardedForce2Vec(
             graph, cfg, mesh=make_vp_mesh(devs), sampling=sampling,
-            neg_pool=args.neg_pool,
+            neg_pool=args.neg_pool, halo_stale=args.halo_stale,
         )
     elif args.devices > 1:
         import jax
