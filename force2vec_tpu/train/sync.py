@@ -154,7 +154,11 @@ class SyncForce2Vec:
             garr["deg_all"] = jnp.asarray(lay.deg)
             pool, base = _build_walk_tables(lay)
             garr["walk_pool"] = jnp.asarray(pool)
-            garr["walk_base"] = jnp.asarray(base)
+            # (deg, base) packed as one [n_pad, 2] table: the walk step
+            # fetches both with ONE row-granularity take (row-rate-bound,
+            # PERF.md §1) instead of two element gathers
+            garr["walk_db"] = jnp.stack(
+                [lay.deg.astype(np.int32), base], axis=1)
         self._garr = garr
 
         from force2vec_tpu.train.trainer import make_train_dispatcher
@@ -788,18 +792,18 @@ def _ell_walks(garr, lay: SyncLayout, key, walk_length: int):
     quirky deg<2 path documented in sampling/walks.py)."""
     n_pad = lay.n_pad
     start = jnp.arange(n_pad, dtype=jnp.int32)
-    deg = garr["deg_all"]
     pool = garr["walk_pool"]
-    base = garr["walk_base"]
+    db = garr["walk_db"]  # [n_pad, 2] = (deg, base)
 
     def step_fn(carry, step_key):
         w = carry
         r = jax.random.randint(
             step_key, (n_pad,), 0, jnp.iinfo(jnp.int32).max, dtype=jnp.int32
         )
-        d = jnp.take(deg, w)
+        row = jnp.take(db, w, axis=0)  # one row take for (deg, base)
+        d, base_w = row[:, 0], row[:, 1]
         slot = r % jnp.maximum(d, 1)
-        nxt = jnp.take(pool, jnp.take(base, w) + slot)
+        nxt = jnp.take(pool, base_w + slot)
         nxt = jnp.where(d > 0, nxt, w)
         return nxt, nxt
 
