@@ -43,6 +43,13 @@ def main() -> int:
     ap.add_argument("--devices", default="")
     ap.add_argument("--dim", type=int, default=128)
     ap.add_argument("--out", default=os.path.join(REPO, "SCALING.json"))
+    ap.add_argument("--structure", default="powerlaw",
+                    choices=("powerlaw", "communities"),
+                    help="communities: Zipf-sized planted communities under "
+                    "the same degree skew (the SNAP com-* family's shape) — "
+                    "the partitioner's block deal can then exploit locality, "
+                    "which the structureless powerlaw graph makes physically "
+                    "impossible (every row is needed by ~all shards)")
     args = ap.parse_args()
 
     import jax
@@ -62,7 +69,34 @@ def main() -> int:
         else [s for s in (1, 2, 4, 8, 16, 32) if s <= avail]
     )
 
-    graph = synth_powerlaw_graph(n=args.n, avg_deg=args.deg)
+    if args.structure == "communities":
+        from force2vec_tpu.graphs.csr import Graph
+
+        rng = np.random.default_rng(7)
+        n, m = args.n, args.n * args.deg // 2
+        w = (np.arange(n, dtype=np.float64) + 1.0) ** -0.5
+        w /= w.sum()
+        n_comm = max(n // 1000, 1)
+        cw = (np.arange(n_comm, dtype=np.float64) + 1.0) ** -0.7
+        cw /= cw.sum()
+        comm_of = np.sort(rng.choice(n_comm, size=n, p=cw))
+        starts = np.searchsorted(comm_of, np.arange(n_comm))
+        ends = np.searchsorted(comm_of, np.arange(n_comm), side="right")
+        mi = int(m * 0.6)
+        si = rng.integers(0, n, size=mi, dtype=np.int64)
+        c = comm_of[si]
+        span = np.maximum(ends[c] - starts[c], 1)
+        di = starts[c] + rng.integers(0, 1 << 62, size=mi) % span
+        sg = rng.integers(0, n, size=m - mi, dtype=np.int64)
+        dg = rng.choice(n, size=m - mi, p=w).astype(np.int64)
+        src = np.concatenate([si, sg])
+        dst = np.concatenate([di, dg])
+        keep = src != dst
+        graph = Graph.from_coo(
+            np.concatenate([src[keep], dst[keep]]),
+            np.concatenate([dst[keep], src[keep]]), None, n=n)
+    else:
+        graph = synth_powerlaw_graph(n=args.n, avg_deg=args.deg)
     cfg = TrainConfig(
         dim=args.dim, model="tdist", ns=5, per_vertex_samples=True
     )
@@ -146,7 +180,8 @@ def main() -> int:
         ),
         "graph": {"n": graph.n, "nnz": graph.nnz},
         "config": {"dim": args.dim, "model": "tdist", "ns": 5,
-                   "iters": args.iters, "mode": args.mode},
+                   "iters": args.iters, "mode": args.mode,
+                   "structure": args.structure},
         "scaling": rows,
     }
     with open(args.out, "w") as f:
