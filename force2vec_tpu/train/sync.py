@@ -113,10 +113,12 @@ class SyncForce2Vec:
             hot_rows=self.hot_rows, span_align=span_align,
         )
         # Auto take-group size: throughput is flat for 8-32 MB groups at
-        # the headline bench size (benchmarks/profile_takegroups.py), but a
-        # fixed small cap would explode the op count (and compile time) on
-        # big graphs — scale with total tile volume, clamped to the
-        # measured-good range's shape (~24-40 takes per iteration).
+        # the headline bench size (benchmarks/profile_takegroups.py,
+        # re-confirmed by the r5 tile×group scan, PERF.md §8.2), and at
+        # big-graph scale 32 MB measured FASTER end-to-end than 128 MB
+        # (122.7 vs 115.6 M up/s, PERF.md §7.8) — so the auto cap stays
+        # inside the measured-good band instead of growing with the graph
+        # (the old total//40 heuristic picked 256 MB at com-Youtube scale).
         if take_group_bytes is None:
             gdt_sz = (
                 jnp.dtype(config.gather_dtype).itemsize
@@ -124,7 +126,7 @@ class SyncForce2Vec:
             )
             total = self.layout.padded_edges * config.dim * gdt_sz
             take_group_bytes = max(
-                8 * 1024 * 1024, min(256 * 1024 * 1024, total // 40)
+                8 * 1024 * 1024, min(32 * 1024 * 1024, total // 40)
             )
         self.take_group_bytes = int(take_group_bytes)
         self.lr = config.resolve_lr(self.model)
