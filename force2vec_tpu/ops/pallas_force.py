@@ -167,7 +167,9 @@ def _mxu_kernel(model: ForceModel, k: int, r: int,
         # f32 dots (xi stays f32 — the dist2 coefficients scale with a
         # itself, so bf16-rounding xi would shift the force ~0.5% where the
         # elementwise path would not); with f32 squares for ‖x̃j‖² the
-        # norm-form a equals ‖xi − x̃j‖² to f32 rounding.
+        # norm-form a equals ‖xi − x̃j‖² to f32 rounding.  bf16 dots were
+        # chip-tested in r5 and change NOTHING (373.3 vs 372.4 M up/s) —
+        # the sweep is not dot-bound (PERF.md §8.2).
         dots = jax.lax.dot_general(
             xir, xjf, (((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
