@@ -116,7 +116,6 @@ def main():
                     "attraction strength scales with avg degree, so dense "
                     "graphs (com-Orkut deg ~78) need a smaller step than "
                     "the deg-34 Youtube config")
-    ap.add_argument("--iters-warm", type=int, default=0, help=argparse.SUPPRESS)
     args = ap.parse_args()
 
     path = synth_big(args.n, args.deg, path=args.mtx,
