@@ -43,6 +43,11 @@ def main() -> int:
     ap.add_argument("--devices", default="")
     ap.add_argument("--dim", type=int, default=128)
     ap.add_argument("--out", default=os.path.join(REPO, "SCALING.json"))
+    ap.add_argument("--hot-rows", type=int, default=None,
+                    help="sharded mode: force the hot/cold gather split "
+                    "(r5: composes with dp — each rank sweeps 1/dp of "
+                    "every span chunk); None = auto (off below the "
+                    "~100 MB fast-tier table size)")
     ap.add_argument("--structure", default="powerlaw",
                     choices=("powerlaw", "communities"),
                     help="communities: Zipf-sized planted communities under "
@@ -133,8 +138,12 @@ def main() -> int:
 
             mesh = make_mesh(jax.devices()[:nd], dp=nd // args.tp, tp=args.tp)
             runner = ShardedSyncForce2Vec(
-                graph, cfg, mesh, min_width=16, hub_width=128
+                graph, cfg, mesh, min_width=16, hub_width=128,
+                hot_rows=args.hot_rows,
             )
+            if args.hot_rows:
+                assert runner.fv.layout.hot_start is not None
+                comm = {"gather_split": runner.fv.split_stats()}
             garr, train_jit = runner.fv._garr, runner._train_jit
             x = jax.device_put(
                 runner.fv.init_embedding(1),
